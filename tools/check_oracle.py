@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle compare (dev tool only;
+the engine itself has no Python dependency).
+
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Loads each <name>/ parquet result written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables, sorts
+columns by name, sorts rows, and diffs values.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize for stable compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark result"); n_bad += 1; continue
+        got = canon(con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf())
+        try:
+            exp = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
+        if got.shape != exp.shape:
+            print(f"SHAPE    {name}: spark {got.shape} duckdb {exp.shape}"); n_bad += 1; continue
+        try:
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
+            print(f"OK       {name} ({got.shape[0]} rows)"); n_ok += 1
+        except AssertionError as e:
+            print(f"MISMATCH {name}: {str(e).splitlines()[-1][:200]}"); n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
