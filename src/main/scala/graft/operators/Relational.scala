@@ -1,0 +1,415 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational operator surface (SURVEY.md §2.1 / §7.2 step 4): scans with
+  * pushdown, joins of every flavor, aggregation (plain / distinct /
+  * rollup / cube), window functions, sort/limit/top-k, set ops, and
+  * scalar string/date/json/array functions — all Spark built-ins so
+  * Catalyst plans pushdown, partial aggregation, and join strategy.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension sides (region/nation/supplier/part/customer at TPC-H
+  *    ratios) get explicit broadcast() hints → no shuffle of the fact;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *    AQE handles skew;
+  *  - every aggregate is a map-side-combined hash agg; no collect().
+  */
+object Relational {
+
+  /** Exact cross-engine sum via DECIMAL(18,4) — see SparkEntry.dsum. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- scans -----------------------------------------------------------
+    // Projection+filter that must reach the parquet scan (PushedFilters /
+    // 2-column ReadSchema at explain-time); at 100 TB this is the
+    // difference between reading 2 columns and reading 11.
+    "scan_pushdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_quantity")),
+
+    // --- aggregation -----------------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(dsum(col("l_quantity")), 2).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP: hierarchical subtotals; group keys coalesced to '(all)' so
+    // both engines serialize subtotal rows identically.
+    "agg_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "agg_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(dsum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- joins -----------------------------------------------------------
+    // Star join with explicit broadcast of the dimension: the 100 TB plan
+    // is fact-scan + BroadcastHashJoin, zero fact shuffle before the agg.
+    "join_broadcast_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    // TPC-H Q3-style: customer(bcast) ⋈ orders ⋈ lineitem, top 10 orders
+    // by revenue. orders⋈lineitem shuffles on orderkey (both huge at scale).
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style 6-way star join: region→nation broadcast down the
+    // chain; only orders⋈lineitem is a real shuffle at scale.
+    "q5_region_revenue" -> ((s, dir) => {
+      val dims = Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // EXISTS → left-semi: orders with at least one high-quantity item.
+    "join_semi" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48.0)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // NOT EXISTS → left-anti: customers with no high-value order.
+    "join_anti" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Equi key + range residual: items shipped within 90 days of order
+    // date. The equi key keeps this a hash join (range-only joins
+    // degenerate to BNLJ — avoided by construction).
+    "join_range" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_fast"), round(dsum(col("l_extendedprice")), 2).as("value"))
+        .orderBy("o_orderstatus")),
+
+    // --- windows ---------------------------------------------------------
+    "window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    "window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("running_sum",
+          sum(col("value").cast(DecimalType(18, 4))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .withColumn("moving_avg",
+          avg(col("value")).over(w.rowsBetween(-3, Window.currentRow)))
+        .select(col("user_id"), col("event_id"),
+          round(col("running_sum"), 2).as("running_sum"),
+          round(col("moving_avg"), 4).as("moving_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2))
+        .select(col("user_id"), col("event_id"),
+          round(coalesce(col("prev_value"), lit(0.0)), 2).as("prev_value"), col("delta"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // --- sort / limit / top-k -------------------------------------------
+    // Global top-k: Spark plans TakeOrderedAndProject — each partition
+    // keeps k rows, driver merges k*partitions, no full sort at scale.
+    "topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)),
+
+    // --- set ops ---------------------------------------------------------
+    // (buyers ∪ rich) ∖ (BUILDING-segment customers)
+    "set_ops" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey").as("custkey"))
+      val building = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      buyers.union(rich).distinct().except(building).orderBy("custkey")
+    }),
+
+    // --- scalar functions ------------------------------------------------
+    "scalar_string_date" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          // NB ×2 is exact in binary floating point; ×0.1 is not, and its
+          // result lands ~1e-9 from a .xx5 boundary where Spark (exact
+          // BigDecimal HALF_UP) and DuckDB (scaled-double nearbyint)
+          // round() disagree. Keep rounded outputs off clean-decimal ×10^k
+          // paths.
+          round(col("o_totalprice") * 2, 2).as("double_price"),
+          round(sqrt(abs(col("o_totalprice"))), 4).as("root"))
+        .orderBy("o_orderkey")),
+
+    // JSON extraction from the events.props string column.
+    "json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // Array (embedding) math with built-in higher-order functions —
+    // codegen-friendly, no UDF.
+    "array_ops" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
+        .orderBy("vec_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "scan_pushdown" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_quantity""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+        |       coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |       coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_broadcast_agg" ->
+      """SELECT p_brand,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT o_orderstatus, count(*) AS n_fast,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_sum,
+        |       round(avg(value)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "window_lag" ->
+      """SELECT user_id, event_id,
+        |       round(coalesce(prev_value, 0.0), 2) AS prev_value,
+        |       round(value - coalesce(prev_value, 0.0), 2) AS delta
+        |FROM (SELECT user_id, event_id, value,
+        |             lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  UNION
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |) EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+
+    "scalar_string_date" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderstatus) AS status_u,
+        |       substring(o_orderpriority, 1, 1) AS prio_code,
+        |       length(o_orderpriority) AS prio_len,
+        |       concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+        |       CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(month(o_orderdate) AS INT) AS o_month,
+        |       CAST(day(o_orderdate) AS INT) AS o_day,
+        |       round(o_totalprice * 2, 2) AS double_price,
+        |       round(sqrt(abs(o_totalprice)), 4) AS root
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "array_ops" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

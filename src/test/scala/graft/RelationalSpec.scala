@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity checks per relational operator at sf0.001 (cross-engine equality
+  * is covered by the DuckDB oracle at sf0.01 — tools/check_oracle.py; here
+  * we assert shapes and independently checkable facts).
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("scan_pushdown pushes the filter to the parquet scan") {
+    val df = run("scan_pushdown")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"expected pushed filter in plan:\n$plan")
+    assert(df.columns.toSeq === Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("q1 groups are complete and counts add up") {
+    val rows = run("q1_pricing_summary").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(total === expected)
+  }
+
+  test("agg_rollup has grand-total row equal to table count") {
+    val rows = run("agg_rollup").collect()
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") ===
+      spark.read.parquet(s"$sf0001/orders.parquet").count())
+  }
+
+  test("agg_cube row count = (|f|+1)*(|s|+1) combos present in data + margins") {
+    val rows = run("agg_cube").collect()
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length === 1)
+  }
+
+  test("join_semi ⊆ orders and join_anti excludes big-order customers") {
+    val semi = run("join_semi").select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val antiCust = run("join_anti").select("c_custkey").collect().map(_.getLong(0)).toSet
+    val bigBuyers = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(antiCust.nonEmpty)
+    assert(antiCust.intersect(bigBuyers).isEmpty)
+    assert(semi.nonEmpty)
+  }
+
+  test("join_broadcast_agg plans a BroadcastHashJoin") {
+    val plan = run("join_broadcast_agg").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("topk_orders is TakeOrderedAndProject (no global sort) and descending") {
+    val df = run("topk_orders")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    val prices = df.collect().map(_.getDouble(1))
+    assert(prices.length === 100)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("window_rank keeps at most 3 per customer") {
+    val byCust = run("window_rank").collect().groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 3))
+    assert(byCust.values.forall(_.map(_.getAs[Int]("rn")).toSet.subsetOf(Set(1, 2, 3))))
+  }
+
+  test("json_props sums parse the props JSON") {
+    val rows = run("json_props").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.isNullAt(2))) // every event_type has parseable k
+  }
+
+  test("array_ops norms are positive and dims constant") {
+    val rows = run("array_ops").collect()
+    assert(rows.forall(_.getAs[Int]("dim") === 64))
+    assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
+  }
+
+  test("all relational queries return rows at sf0.001") {
+    for (name <- Relational.queriesKeys) {
+      assert(run(name).count() > 0, s"$name empty")
+    }
+  }
+}
+
+object Relational {
+  val queriesKeys: Seq[String] = graft.operators.Relational.queries.keys.toSeq
+}
