@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ParityQueries, Relational}
+import graft.core.Tables
+import graft.operators.{EventTime, ParityQueries, Relational}
+import graft.streaming.Sessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,8 +25,16 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ Relational.queries
+    ParityQueries.queries ++ Relational.queries ++ EventTime.queries ++ Map(
+      // O14 analogue: typed flatMapGroups sessionizer; same oracle as the
+      // declarative events_session — the custom stateful op must agree
+      // with the SQL formulation.
+      "sessionize_stateful" -> ((s: SparkSession, dir: String) =>
+        Sessionize.sessionizeBatch(Tables.events(s, dir)))
+    )
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ Relational.oracles
+    ParityQueries.oracles ++ Relational.oracles ++ EventTime.oracles ++ Map(
+      "sessionize_stateful" -> EventTime.oracles("events_session")
+    )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Event-time windowing over the events table (SURVEY.md §7.2 step 5).
+  *
+  * These are the batch formulations — the driver's DuckDB oracle needs
+  * plain SQL — and they share window semantics with the streaming
+  * variants in graft.streaming (asserted stream≡batch in StreamingSpec):
+  * Spark's window() aligns tumbling/sliding windows to the epoch, and
+  * session_window merges events closer than the gap.
+  *
+  * Scale: groupBy(window(...)) is one hash shuffle on (window, key);
+  * with a watermark in the streaming form, state is bounded and evicted.
+  */
+object EventTime {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows per event_type.
+    "events_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .select(fmt(col("w.start")).as("window_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")),
+
+    // Sliding 1-hour windows, 30-minute slide: each event lands in 2.
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .select(fmt(col("w.start")).as("window_start"), col("n"), col("total"))
+        .orderBy("window_start")),
+
+    // Session windows per user, 30-minute inactivity gap.
+    "events_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(dsum(col("value")), 2).as("total"))
+        .select(col("user_id"), fmt(col("w.start")).as("session_start"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Each event belongs to the 30m-aligned window at time_bucket(30m, ts)
+    // and the one 30 minutes earlier (1h width / 30m slide).
+    "events_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |             - k * INTERVAL '30 minutes' AS ws, value
+        |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    // Gaps-and-islands: a new session starts when the gap from the
+    // previous event of the same user is >= 30 minutes (session_window
+    // merges events strictly closer than the gap).
+    "events_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed per-key stateful sessionizer — the honest Spark mapping of the
+  * reference's generic stateful bolt hook (O14, `util.py:4-10`): arbitrary
+  * user code with per-key state surviving across micro-batches.
+  *
+  * `flatMapGroupsWithState` keeps one SessionState per user in the state
+  * store; in streaming, EventTimeTimeout + the watermark close idle
+  * sessions. The same function runs on a batch Dataset (each group's full
+  * history arrives in one call — fine for bounded per-key cardinality;
+  * for unbounded keys at 100 TB prefer the declarative session_window
+  * aggregation in graft.operators.EventTime, which spills).
+  */
+object Sessionize {
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Timestamp, n_events: Long, total: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Fold one user's (batch-sorted) events into closed sessions + tail state. */
+  private def foldSessions(userId: Long, sorted: Iterator[Ev],
+                           init: Option[SessionState]): (List[Session], Option[SessionState]) = {
+    var state = init
+    val out = List.newBuilder[Session]
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      state match {
+        case Some(s) if t - s.last < GapMs =>
+          state = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          out += Session(userId, new Timestamp(s.start), s.n, s.total)
+          state = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          state = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (out.result(), state)
+  }
+
+  private def updateFn(userId: Long, events: Iterator[Ev],
+                       state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = events.toArray.sortBy(_.ts.getTime).iterator
+    val (closed, tail) = foldSessions(userId, sorted, state.getOption)
+    if (state.hasTimedOut) {
+      // watermark passed the gap: flush the open session too
+      val flushed = state.getOption.map(s => Session(userId, new Timestamp(s.start), s.n, s.total))
+      state.remove()
+      (closed ++ flushed).iterator
+    } else {
+      tail match {
+        case Some(s) =>
+          state.update(s)
+          // in streaming, arrange a timeout once the watermark passes
+          // last+gap; in batch (or if the watermark already passed) the
+          // call is unsupported/illegal — the tail flushes elsewhere.
+          try state.setTimeoutTimestamp(s.last + GapMs)
+          catch { case scala.util.control.NonFatal(_) => () }
+        case None => state.remove()
+      }
+      closed.iterator
+    }
+  }
+
+  /** Sessionize a (ts, user_id, value) frame. Works on batch and
+    * streaming Datasets; streaming callers must withWatermark("ts", …)
+    * upstream and use OutputMode.Append. */
+  def sessionize(df: DataFrame): Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateFn)
+  }
+
+  /** Batch sessionizer: same fold, but via flatMapGroups so the open tail
+    * session closes at end-of-input (batch execution never fires
+    * GroupState timeouts — state would silently drop the last session
+    * per user if we reused the streaming path). */
+  def sessionizeBatchDs(df: DataFrame): Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, events: Iterator[Ev]) =>
+        val sorted = events.toArray.sortBy(_.ts.getTime).iterator
+        val (closed, tail) = foldSessions(uid, sorted, None)
+        (closed ++ tail.map(s => Session(uid, new Timestamp(s.start), s.n, s.total))).iterator
+      }
+  }
+
+  /** Batch-shaped output matching the events_session oracle columns. */
+  def sessionizeBatch(df: DataFrame): DataFrame =
+    sessionizeBatchDs(df)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        round(col("total").cast(org.apache.spark.sql.types.DecimalType(18, 4)), 2)
+          .cast("double").as("total"))
+      .orderBy("user_id", "session_start")
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Parity
+
+/** Structured Streaming equivalents of the reference's micro-batch
+  * pipelines (SURVEY.md §7.1 layer 2).
+  *
+  * Crane's model — spout pulls lines, 500-tuple batches, at-least-once
+  * ack/replay (reference `crane_master.py:41-61,148-164`, `util.py:61`) —
+  * maps to the file source + micro-batch triggers + checkpointed sinks,
+  * which upgrade the delivery guarantee to exactly-once. `maxFilesPerTrigger`
+  * is the batch-size knob; the WAL + task retry replace the 40 s replay
+  * timer; there is no master-side merge because the final aggregation is
+  * a distributed HashAggregate in update/complete mode.
+  *
+  * All three pipelines reuse the SAME transforms as batch (graft.operators
+  * .Parity) — a streaming DataFrame is just a DataFrame; stream≡batch is
+  * asserted in StreamingSpec.
+  */
+object Streams {
+
+  /** Streaming word count over a directory of text files (reference
+    * word_count topology, O1–O5). Complete mode: the running totals. */
+  def wordCountStream(spark: SparkSession, inputDir: String): DataFrame =
+    Parity.wordCount(spark.readStream.text(inputDir))
+
+  /** Streaming pagerank contributions (reference page_rank topology). */
+  def pageRankStream(spark: SparkSession, inputDir: String): DataFrame =
+    Parity.pageRankContribs(Parity.parseAdjacency(spark.readStream.text(inputDir)))
+
+  /** Streaming filter+count (reference twitter topology). */
+  def twitterStream(spark: SparkSession, inputDir: String): DataFrame =
+    Parity.filterCount(Parity.parseTwitter(spark.readStream.text(inputDir)),
+      "followers", 50.0)
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the event-time capability Crane lacks entirely (SURVEY.md §2.1).
+    * The 10-minute watermark bounds state: windows older than
+    * max(event time) - 10 min are finalized and evicted. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Run a (complete/update-mode) streaming aggregate to completion over
+    * whatever is already in the source, collecting via a memory sink.
+    * Trigger.AvailableNow processes the backlog in micro-batches then
+    * stops — the faithful analogue of Crane draining its spout to EOF. */
+  def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
+                      mode: String = "complete", checkpoint: Option[String] = None): DataFrame = {
+    val writer = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{EventTime, Parity}
+import graft.streaming.{Sessionize, Streams}
+
+/** Stream ≡ batch assertions: the same Parity transforms run as
+  * Structured Streaming (file source, Trigger.AvailableNow, checkpointed
+  * memory sink) must produce exactly the batch results — the Crane
+  * batch-vs-stream equivalence with an exactly-once upgrade.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** Copy a reference CSV into a fresh dir (file source wants a directory
+    * it can list) and return (inputDir, checkpointDir). */
+  private def stage(file: String): (String, String) = {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val cp = Files.createTempDirectory("graft-stream-cp")
+    Files.copy(java.nio.file.Paths.get(file), in.resolve("part-0.txt"))
+    (in.toString, cp.toString)
+  }
+
+  private def asMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("streaming wordcount ≡ batch wordcount on wordcount2k.csv") {
+    val src = "/root/reference/app/wordcount2k.csv"
+    val (in, cp) = stage(src)
+    val got = Streams.runToCompletion(spark,
+      Streams.wordCountStream(spark, in), "wc_stream", checkpoint = Some(cp))
+    val want = Parity.wordCount(spark.read.text(src))
+    assert(asMap(got) === asMap(want))
+  }
+
+  test("streaming pagerank ≡ batch on pagerank_42k.csv") {
+    val src = "/root/reference/app/pagerank_42k.csv"
+    val (in, cp) = stage(src)
+    val got = Streams.runToCompletion(spark,
+      Streams.pageRankStream(spark, in), "pr_stream", checkpoint = Some(cp))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Parity.pageRankContribs(Parity.parseAdjacency(spark.read.text(src)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    assert(got.forall { case (k, v) => math.abs(v - want(k)) < 1e-9 })
+  }
+
+  test("streaming twitter filter ≡ batch, incl. empty-survivor file") {
+    for ((f, expected) <- Seq("twitter_1k.csv" -> 0L, "twitter_5k.csv" -> -1L)) {
+      val src = s"/root/reference/app/$f"
+      val (in, cp) = stage(src)
+      val got = Streams.runToCompletion(spark,
+        Streams.twitterStream(spark, in), s"tw_stream_${f.takeWhile(_ != '.')}",
+        checkpoint = Some(cp)).collect()
+      val want = Parity.filterCount(Parity.parseTwitter(spark.read.text(src)),
+        "followers", 50.0).collect()
+      assert(got.length === 1)
+      assert(got(0).getLong(1) === want(0).getLong(1))
+      if (expected >= 0) assert(got(0).getLong(1) === expected)
+    }
+  }
+
+  test("watermarked tumbling windows: appended results ⊆ batch, tail withheld") {
+    // stream the events parquet through the same windowed aggregation
+    val batchEvents = Tables.events(spark, sf0001)
+    val schema = batchEvents.schema
+    val dir = Files.createTempDirectory("graft-events-in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+    val got = Streams.runToCompletion(spark,
+      Streams.tumblingCounts(streamed), "tumbling_stream", mode = "append")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = EventTime.queries("events_tumbling")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+
+    assert(got.nonEmpty, "no windows emitted")
+    // every emitted (finalized) window must match batch exactly
+    for ((k, v) <- got) assert(batch.get(k).contains(v), s"window $k: stream $v vs batch ${batch.get(k)}")
+    // only the watermark tail may be withheld
+    assert(got.size >= batch.size - 3, s"too few windows: ${got.size} vs ${batch.size}")
+  }
+
+  test("flatMapGroupsWithState sessionizer ≡ declarative session_window query") {
+    val stateful = SparkEntry.queries("sessionize_stateful")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val declarative = EventTime.queries("events_session")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total"))).toMap
+    assert(stateful === declarative)
+  }
+
+  test("event-time queries return rows and match shapes at sf0.001") {
+    for (name <- EventTime.queries.keys)
+      assert(SparkEntry.queries(name)(spark, sf0001).count() > 0, s"$name empty")
+  }
+}
