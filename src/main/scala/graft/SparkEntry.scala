@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
-import graft.operators.{EventTime, ParityQueries, Relational}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, EventTime, Multimodal, ParityQueries, Relational, Similarity}
 import graft.streaming.Sessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +26,9 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ Relational.queries ++ EventTime.queries ++ Map(
+    ParityQueries.queries ++ Relational.queries ++ EventTime.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Map(
       // O14 analogue: typed flatMapGroups sessionizer; same oracle as the
       // declarative events_session — the custom stateful op must agree
       // with the SQL formulation.
@@ -34,7 +37,9 @@ object SparkEntry {
     )
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ Relational.oracles ++ EventTime.oracles ++ Map(
+    ParityQueries.oracles ++ Relational.oracles ++ EventTime.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ Map(
       "sessionize_stateful" -> EventTime.oracles("events_session")
     )
 }

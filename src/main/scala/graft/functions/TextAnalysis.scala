@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * documents table: token/char statistics, quality scoring, n-gram
+  * stopword language ID, and content fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split / transform /
+  * aggregate / regexp_replace / md5) — no UDFs — so the whole pipeline
+  * stays inside WholeStageCodegen and scales as a single projection pass
+  * over the corpus (no shuffle at all until an aggregation is requested).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (keeps parity with DuckDB string_split). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sum of token lengths via a higher-order aggregate — no explode. */
+  def sumTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, w) => acc + length(w))
+
+  /** Characters outside [a-z0-9 ] as a fraction of all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** Fraction of tokens found in `words`. */
+  def hitRatio(text: Column, words: Seq[String]): Column =
+    hitCount(text, words).cast("double") / nullif(tokenCount(text), lit(0)).cast("double")
+
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(words)))
+
+  /** Canonical-form fingerprint: md5 of whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(text, "\\s+", " ")))
+
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  val StopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  val StopFr = Seq("le", "les", "et", "des", "une", "du")
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(sumTokenLen(col("text")).cast("double") /
+            nullif(tokenCount(col("text")), lit(0)).cast("double"), 6).as("avg_token_len"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(hitRatio(col("text"), StopEn), 6).as("stopword_ratio"),
+          fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Stopword-hit language ID with deterministic greatest/first-wins
+    // tie-break (en > es > de > fr).
+    "text_langid" -> ((s, dir) => {
+      val en = hitCount(col("text"), StopEn)
+      val es = hitCount(col("text"), StopEs)
+      val de = hitCount(col("text"), StopDe)
+      val fr = hitCount(col("text"), StopFr)
+      val m = greatest(en, es, de, fr)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          en.as("hits_en"), es.as("hits_es"), de.as("hits_de"), fr.as("hits_fr"),
+          when(en === m, "en").when(es === m, "es").when(de === m, "de")
+            .otherwise("fr").as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality score in [0,1]: stopword share + length credit
+    // (capped at 100 tokens) + cleanliness. Typical pre-training filter.
+    "text_quality" -> ((s, dir) => {
+      val stop = hitRatio(col("text"), StopEn)
+      val lenCredit = least(lit(1.0), tokenCount(col("text")).cast("double") / lit(100.0))
+      val clean = lit(1.0) - punctRatio(col("text"))
+      val score = lit(0.4) * stop + lit(0.3) * lenCredit + lit(0.3) * clean
+      Tables.documents(s, dir)
+        .select(col("doc_id"), round(score, 6).as("quality"),
+          (score > 0.5).as("keep"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def sqlHits(set: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map("'" + _ + "'").mkString(",")})))"
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         |             / nullif(len(string_split(text, ' ')), 0), 6) AS avg_token_len,
+         |       round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / nullif(length(text), 0), 6) AS punct_ratio,
+         |       round(CAST(${sqlHits(StopEn)} AS DOUBLE)
+         |             / nullif(len(string_split(text, ' ')), 0), 6) AS stopword_ratio,
+         |       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH h AS (SELECT doc_id,
+         |       ${sqlHits(StopEn)} AS hits_en, ${sqlHits(StopEs)} AS hits_es,
+         |       ${sqlHits(StopDe)} AS hits_de, ${sqlHits(StopFr)} AS hits_fr
+         |  FROM documents)
+         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+         |       CASE WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |            WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |            ELSE 'fr' END AS lang_guess
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  round(CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
+         |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+         |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)), 6) AS quality,
+         |  (CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
+         |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+         |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0))) > 0.5 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+
+/** Deduplication suite over the documents table — the operators a
+  * 100 TB pre-training corpus pipeline actually runs:
+  *
+  *  - exact:   group by content fingerprint (one shuffle on the hash);
+  *  - n-gram Jaccard: 3-gram shingles, inverted-index self-join on the
+  *    shingle (candidates = pairs sharing ≥1 shingle) — never the naive
+  *    all-pairs cross join;
+  *  - MinHash+LSH: 16 md5-derived min-hashes, 4 bands × 4 rows; band
+  *    buckets join candidates, then exact Jaccard verifies. At scale the
+  *    band join touches only colliding docs, making near-dup detection
+  *    ~linear instead of quadratic;
+  *  - SimHash: 32-bit sign fingerprint from md5 hex digits, built with
+  *    pure column algebra (groupBy doc + 32 conditional sums).
+  *
+  * Every hash is derived from md5(), which DuckDB computes identically —
+  * all four operators are oracle-checked, not just row-counted.
+  */
+object Dedup {
+
+  /** (doc_id, shingle) — distinct 3-gram word shingles per document. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val ws = TextAnalysis.tokens(col("text"))
+    docs
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(ws) - 2), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+        .as("shingle"))
+      .distinct()
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val Rows = 4 // NumHashes / Bands
+
+  /** Per-doc minhash signature columns s0..s15: min over shingles of
+    * md5("<i>|" + shingle) — a cheap, engine-portable hash family. */
+  def minhashSignature(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0|"), col("shingle")))).as("s0"),
+      (1 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"s$i")): _*)
+
+  /** (doc_id, band, sig): band signature = md5 of its 4 concatenated
+    * min-hashes. Pairs sharing any (band, sig) are candidates. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((b * Rows until (b + 1) * Rows).map(i => col(s"s$i")): _*)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Exact Jaccard for given candidate pairs via the shingle inverted
+    * index (shared counts + per-doc counts; no re-tokenization). */
+  def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
+    * (0..3), the bit of the fingerprint is set iff
+    * sum over tokens of (digit_k(token) >> b & 1 ? +1 : -1) > 0. */
+  def simhash32(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = toks.groupBy("doc_id").agg(
+      bitSum(1, 0).as("b_0"),
+      (for { k <- 1 to 8; b <- 0 to 3; if !(k == 1 && b == 0) }
+        yield bitSum(k, b).as(s"b_${(k - 1) * 4 + b}")): _*)
+    val value = (0 until 32).map { i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), value.as("simhash"))
+  }
+
+  private def bitSum(k: Int, b: Int): Column = {
+    val digit = conv(substring(col("h"), k, 1), 16, 10).cast("int")
+    sum(when(shiftright(digit, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+  }
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup via content fingerprint: representative (min doc_id)
+    // + copy count per distinct content.
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .orderBy("fingerprint")),
+
+    // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("shared").cast("double") /
+            (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+      val bands = lshBands(minhashSignature(sh))
+      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      val cand = l.join(r, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      jaccardFor(cand, sh)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-doc 32-bit simhash fingerprint.
+    "dedup_simhash" -> ((s, dir) =>
+      simhash32(Tables.documents(s, dir)).orderBy("doc_id"))
+  )
+
+  // --- oracle SQL (generated to stay in lockstep with the Scala) -------
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       (SELECT unnest(generate_series(1, 4096)) AS i)
+      |  WHERE i + 2 <= len(ws))""".stripMargin
+
+  private val minhashCols = (0 until NumHashes)
+    .map(i => s"min(md5('$i|' || shingle)) AS s$i").mkString(", ")
+
+  private val bandSigs = (0 until Bands)
+    .map(b => s"md5(${(b * Rows until (b + 1) * Rows).map(i => s"s$i").mkString(" || ")}) AS sig$b")
+    .mkString(", ")
+
+  private val simhashBitSums = (for { k <- 1 to 8; b <- 0 to 3 } yield {
+    val idx = (k - 1) * 4 + b
+    s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1) >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b_$idx"
+  }).mkString(",\n         ")
+
+  private val simhashValue = (0 until 32)
+    .map(i => s"CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+    .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
+         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band ${(0 until Bands).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+         |  FROM (SELECT doc_id, $bandSigs FROM sigs),
+         |       (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+         |            AND l.doc_id < r.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
+         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (
+         |  SELECT doc_id,
+         |         $simhashBitSums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $simhashValue AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin
+  )
+}

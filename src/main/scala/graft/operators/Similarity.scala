@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the embeddings table.
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * (small) query set against the corpus — one scan, no corpus shuffle,
+  * per-partition top-k via window rank. The scale path is sign-LSH
+  * bucketing (VectorOps.signBucket): restrict candidates to the query's
+  * bucket, turning O(N·Q) into O(N/2^bits·Q) at a recall cost.
+  */
+object Similarity {
+
+  private val TopK = 10
+  private val QuerySetSize = 5 // vec_id < 5 are the query vectors
+  private val BucketBits = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact cosine top-10 for each query vector (vec_id < 5), excluding
+    // self. Query side broadcast; ties broken by vec_id.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qv")).as("score"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Same queries, candidates restricted to the query's sign-LSH bucket.
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), BucketBits))
+      val q = emb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val scored = emb.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qv")).as("score"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-duplicate pairs above a cosine threshold (0.4 —
+    // calibrated to this corpus; raise for real dedup). All-pairs here;
+    // the LSH bucket join is the 100 TB formulation.
+    "emb_neardup_cosine" -> ((s, dir) => {
+      val a = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          VectorOps.cosine(col("va"), col("vb")).as("score"))
+        .filter(col("score") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Bucket histogram — the data profile an IVF/LSH planner needs.
+    "ann_bucket_histogram" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy(VectorOps.signBucket(col("embedding"), BucketBits).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"))
+  )
+
+  private val dotSql = "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def cosineSql(va: String, vb: String): String =
+    s"""list_sum(list_transform(list_zip($va, $vb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val bucketSql = (0 until BucketBits)
+    .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+    .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM embeddings e, embeddings q
+         |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      s"""WITH eb AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM eb e JOIN eb q ON e.bucket = q.bucket
+         |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "emb_neardup_cosine" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_bucket_histogram" ->
+      s"""SELECT $bucketSql AS bucket, count(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics checks for the LLM-pipeline operators at sf0.001 (the
+  * cross-engine oracle covers value equality at sf0.01).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("dedup_exact: copies sum to corpus size, keepers unique") {
+    val rows = run("dedup_exact").collect()
+    val total = rows.map(_.getAs[Long]("copies")).sum
+    assert(total === Tables.documents(spark, sf0001).count())
+    val keepers = rows.map(_.getAs[Long]("keep_id"))
+    assert(keepers.distinct.length === keepers.length)
+  }
+
+  test("dedup_ngram_jaccard: pairs are ordered, scores in (0,1]") {
+    val rows = run("dedup_ngram_jaccard").collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; none found")
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.5 && j <= 1.0
+    })
+  }
+
+  test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
+    val exact = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    val lsh = run("dedup_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    // LSH candidates are a subset of all >=0.5 pairs; recall must be high
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    // and scores agree exactly where both found the pair
+    assert(lsh.forall { case (k, v) => exact(k) === v })
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val sims = run("dedup_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val dups = run("dedup_ngram_jaccard").collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(sims.size === Tables.documents(spark, sf0001).count())
+    val hams = dups.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    if (hams.nonEmpty)
+      assert(hams.forall(_ <= 10), s"high-jaccard pairs with large hamming: $hams")
+  }
+
+  test("ann_cosine_topk: 10 ranked neighbors per query, descending, no self") {
+    val rows = run("ann_cosine_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 5)
+    for ((q, rs) <- byQ) {
+      assert(rs.length === 10)
+      assert(rs.forall(_.getAs[Long]("vec_id") !== q))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sliding(2).forall(p => p(0) >= p(1)), s"query $q not descending")
+    }
+  }
+
+  test("ann_lsh_bucketed results ⊆ brute-force ranking universe, same scoring") {
+    val brute = run("ann_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("score")).toMap
+    val lsh = run("ann_lsh_bucketed").collect()
+    // every LSH hit that brute-force also ranked must carry the same score
+    for (r <- lsh) {
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      brute.get(k).foreach(s => assert(math.abs(s - r.getAs[Double]("score")) < 1e-9))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("bucket histogram covers the corpus") {
+    val n = run("ann_bucket_histogram").agg(sum("n")).collect()(0).getLong(0)
+    assert(n === Tables.embeddings(spark, sf0001).count())
+  }
+
+  test("multimodal: declarative and mapPartitions decoders agree") {
+    val a = run("multimodal_meta").collect().map(_.toSeq).toSeq
+    val b = run("multimodal_meta_mp").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("text stats/langid/quality return a row per doc") {
+    val n = Tables.documents(spark, sf0001).count()
+    for (name <- Seq("text_stats", "text_langid", "text_quality"))
+      assert(run(name).count() === n, s"$name row count")
+  }
+}
