@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a class per stage; across a many-query run
+  // the default JIT code cache fills, the compiler shuts off, and hot
+  // loops drop to the interpreter (observed as 20x slowdowns late in a
+  // bench run). Give codegen room + let the cache recycle.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

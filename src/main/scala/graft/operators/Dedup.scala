@@ -25,15 +25,24 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
-  /** (doc_id, shingle) — distinct 3-gram word shingles per document. */
+  /** (doc_id, shingle) — distinct 3-gram word shingles per document.
+    *
+    * Built as posexplode + window lead over (doc_id, pos) rather than
+    * array-building transform(sequence(...)): the array route re-inlines
+    * the split() into every element_at under projection collapse
+    * (O(tokens²) work per doc) and falls off codegen. One shuffle on
+    * doc_id; scales linearly in corpus size.
+    */
   def shingles(docs: DataFrame): DataFrame = {
-    val ws = TextAnalysis.tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     docs
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(ws) - 2), i =>
-          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-        .as("shingle"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead("w", 1).over(w))
+      .withColumn("w3", lead("w", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
       .distinct()
   }
 
@@ -41,13 +50,21 @@ object Dedup {
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
 
-  /** Per-doc minhash signature columns s0..s15: min over shingles of
-    * md5("<i>|" + shingle) — a cheap, engine-portable hash family. */
+  /** 60-bit numeric hash: first 15 hex digits of md5, as BIGINT. Numeric
+    * (not the md5 string) so min() aggregates in a HashAggregate with a
+    * primitive mutable buffer — string buffers force SortAggregate, which
+    * sorts the whole shingle set at every use. DuckDB twin: generated
+    * digit-shift sum (exact; avoids double-precision 16^k). */
+  private def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Per-doc minhash signature h0..h15 + shingle count c, in ONE
+    * hash aggregation pass over the shingle index. */
   def minhashSignature(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("s0"),
-      (1 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"s$i")): _*)
+      count(lit(1)).as("c"),
+      (0 until NumHashes).map(i =>
+        min(hash60(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
 
   /** (doc_id, band, sig): band signature = md5 of its 4 concatenated
     * min-hashes. Pairs sharing any (band, sig) are candidates. */
@@ -55,14 +72,15 @@ object Dedup {
     sigs.select(col("doc_id"), explode(array(
       (0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          md5(concat((b * Rows until (b + 1) * Rows).map(i => col(s"s$i")): _*)).as("sig"))
+          md5(concat_ws("|",
+            (b * Rows until (b + 1) * Rows).map(i => col(s"h$i").cast("string")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** Exact Jaccard for given candidate pairs via the shingle inverted
-    * index (shared counts + per-doc counts; no re-tokenization). */
-  def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    * index; per-doc counts ride along from the signature pass so the
+    * shingle pipeline is not re-evaluated for them. */
+  def jaccardFor(cand: DataFrame, sh: DataFrame, counts: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val shared = a.join(b, Seq("shingle"))
@@ -70,8 +88,8 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
@@ -134,13 +152,14 @@ object Dedup {
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(Tables.documents(s, dir))
-      val bands = lshBands(minhashSignature(sh))
+      val sigs = minhashSignature(sh)
+      val bands = lshBands(sigs)
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
       val cand = l.join(r, Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      jaccardFor(cand, sh)
+      jaccardFor(cand, sh, sigs.select("doc_id", "c"))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
@@ -161,11 +180,18 @@ object Dedup {
       |       (SELECT unnest(generate_series(1, 4096)) AS i)
       |  WHERE i + 2 <= len(ws))""".stripMargin
 
+  /** DuckDB twin of hash60: exact digit-shift sum over the first 15 md5
+    * hex chars (16^k in BIGINT shifts, not double pow). */
+  private def hash60Sql(arg: String): String =
+    (1 to 15).map { k =>
+      s"(CAST(strpos('0123456789abcdef', substr(md5($arg), $k, 1)) - 1 AS BIGINT) << ${4 * (15 - k)})"
+    }.mkString("(", " + ", ")")
+
   private val minhashCols = (0 until NumHashes)
-    .map(i => s"min(md5('$i|' || shingle)) AS s$i").mkString(", ")
+    .map(i => s"min(${hash60Sql(s"'$i|' || shingle")}) AS h$i").mkString(", ")
 
   private val bandSigs = (0 until Bands)
-    .map(b => s"md5(${(b * Rows until (b + 1) * Rows).map(i => s"s$i").mkString(" || ")}) AS sig$b")
+    .map(b => s"md5(${(b * Rows until (b + 1) * Rows).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")}) AS sig$b")
     .mkString(", ")
 
   private val simhashBitSums = (for { k <- 1 to 8; b <- 0 to 3 } yield {

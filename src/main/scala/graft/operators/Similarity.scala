@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.VectorOps
+import graft.functions.{DotProductFloat, VectorOps}
 
 /** Similarity search over the embeddings table.
   *
@@ -21,18 +21,27 @@ object Similarity {
   private val QuerySetSize = 5 // vec_id < 5 are the query vectors
   private val BucketBits = 8
 
+  /** Attach the L2 norm once per row (codegen'd dot with itself) so pair
+    * joins never recompute it. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(DotProductFloat(col("embedding"), col("embedding"))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact cosine top-10 for each query vector (vec_id < 5), excluding
-    // self. Query side broadcast; ties broken by vec_id.
+    // self. Query side broadcast; norms precomputed per side so the
+    // per-pair work is ONE codegen'd dot product (DotProductFloat);
+    // ties broken by vec_id.
     "ann_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = withNorm(Tables.embeddings(s, dir))
       val q = emb.filter(col("vec_id") < QuerySetSize)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("qv")).as("score"))
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
       val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
       scored
         .withColumn("rank", row_number().over(w))
@@ -44,15 +53,16 @@ object Similarity {
 
     // Same queries, candidates restricted to the query's sign-LSH bucket.
     "ann_lsh_bucketed" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = withNorm(Tables.embeddings(s, dir))
         .withColumn("bucket", VectorOps.signBucket(col("embedding"), BucketBits))
       val q = emb.filter(col("vec_id") < QuerySetSize)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("bucket"))
+          col("nrm").as("qn"), col("bucket"))
       val scored = emb.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("qv")).as("score"))
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
       val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
       scored
         .withColumn("rank", row_number().over(w))
@@ -66,14 +76,15 @@ object Similarity {
     // calibrated to this corpus; raise for real dedup). All-pairs here;
     // the LSH bucket join is the 100 TB formulation.
     "emb_neardup_cosine" -> ((s, dir) => {
-      val a = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-      val b = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
       a.crossJoin(b)
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          VectorOps.cosine(col("va"), col("vb")).as("score"))
+          (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
         .filter(col("score") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
