@@ -205,7 +205,36 @@ object Relational {
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)),
 
+    // Skew-safe two-stage aggregation: pre-aggregate on (key, salt) to
+    // spread a hot key over the cluster, then merge partials. Same
+    // result as a direct groupBy (same oracle as wordcount) — the
+    // pattern a 100 TB corpus needs when one token dominates.
+    "wordcount_salted" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .withColumn("salt", pmod(crc32(monotonically_increasing_id().cast("string")), lit(16)))
+        .groupBy("word", "salt")
+        .agg(count(lit(1)).as("partial"))
+      salted.groupBy("word").agg(sum("partial").as("cnt")).orderBy("word")
+    }),
+
+    // HLL sketch distinct (no oracle — approximate by design; the driver
+    // records a rows-only check). rsd 5% default.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // --- set ops ---------------------------------------------------------
+    // INTERSECT: buyers who are also high-balance customers.
+    "set_intersect" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 7500.0)
+        .select(col("c_custkey").as("custkey"))
+      buyers.intersect(rich).orderBy("custkey")
+    }),
+
     // (buyers ∪ rich) ∖ (BUILDING-segment customers)
     "set_ops" -> ((s, dir) => {
       val buyers = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
@@ -377,6 +406,17 @@ object Relational {
     "topk_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "wordcount_salted" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7500
+        |ORDER BY custkey""".stripMargin,
 
     "set_ops" ->
       """SELECT custkey FROM (
