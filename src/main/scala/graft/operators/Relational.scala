@@ -245,6 +245,30 @@ object Relational {
       buyers.union(rich).distinct().except(building).orderBy("custkey")
     }),
 
+    // PIVOT: per-user event counts spread across one column per type.
+    // Explicit value list keeps the plan a single pass (no distinct scan)
+    // and the output schema static — required at scale.
+    "pivot_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Typed Dataset API surface: same wordcount semantics via
+    // Dataset[String] flatMap + groupByKey (same oracle as wordcount).
+    "wordcount_typed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("text")).as[String]
+        .flatMap(_.split(" ", -1))
+        .groupByKey(identity)
+        .count()
+        .toDF("word", "cnt")
+        .orderBy("word")
+    }),
+
     // --- scalar functions ------------------------------------------------
     "scalar_string_date" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -426,6 +450,20 @@ object Relational {
         |) EXCEPT
         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "wordcount_typed" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     "scalar_string_date" ->
       """SELECT o_orderkey,

@@ -1,0 +1,48 @@
+package graft
+
+/** Scale-posture audit: the plans Catalyst actually produces must have
+  * the shapes the 100 TB design depends on — pushdown reaching parquet,
+  * dimension broadcasts, partial aggregation, top-k without global sort,
+  * and no accidental cartesian products.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("parquet pushdown: filter and 2-column pruning reach the scan") {
+    val p = plan("scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("star joins broadcast their dimension sides") {
+    for (q <- Seq("join_broadcast_agg", "q3_top_orders", "q5_region_revenue"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lacks broadcast join")
+  }
+
+  test("aggregations run partial+final hash aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("no cartesian product outside the intended all-pairs queries") {
+    for (name <- SparkEntry.queries.keys
+         if name != "emb_neardup_cosine" && name != "ann_cosine_topk") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("similarity pair-joins use broadcast nested loop only on the tiny query side") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
+    assert(p.contains("dotproductfloat"), p) // codegen'd expression in use
+  }
+
+  test("minhash signature aggregation stays in HashAggregate (numeric buffers)") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("SortAggregate"), s"minhash fell back to SortAggregate:\n$p")
+  }
+}
