@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.DotProductFloat
+
+/** Catalyst optimizer rule: rewrite the declarative higher-order dot
+  * product
+  *
+  *   aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)
+  *
+  * over ARRAY<FLOAT> columns into the codegen'd [[DotProductFloat]]
+  * expression. Users (and composed library code) write the idiomatic
+  * functions-API formulation; the plan executes the tight primitive loop
+  * (HOFs are CodegenFallback — interpreted, allocating an intermediate
+  * array per row). Semantics are identical: float widened to double,
+  * sequential accumulation over the common prefix.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** x * y (either operand possibly widened by a cast) over the two
+    * lambda variables of a zip_with. */
+  private def isPairwiseMultiply(fn: Expression): Boolean = fn match {
+    case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      def strip(e: Expression): Expression = e match {
+        case c: Cast => strip(c.child)
+        case other => other
+      }
+      (strip(l), strip(r)) match {
+        case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+          Set(lv.exprId, rv.exprId) == Set(x.exprId, y.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def isAccumulateAdd(fn: Expression): Boolean = fn match {
+    case LambdaFunction(Add(l, r, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _) =>
+      (l, r) match {
+        case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+          Set(lv.exprId, rv.exprId) == Set(acc.exprId, v.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def isIdentityFinish(fn: Expression): Boolean = fn match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(p: NamedLambdaVariable), _) =>
+      v.exprId == p.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(ZipWith(a, b, merge), Literal(0.0d, DoubleType), agg, finish)
+        if isFloatArray(a) && isFloatArray(b) &&
+          isPairwiseMultiply(merge) && isAccumulateAdd(agg) && isIdentityFinish(finish) =>
+      DotProductFloat(a, b)
+  }
+}
+
+/** Session extension installing graft's optimizer rules + SQL functions.
+  * Wire with .withExtensions(new GraftExtensions) or
+  * spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_float"),
+        new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
+        (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+  }
+}
