@@ -24,9 +24,15 @@ import graft.operators.Parity
 object Streams {
 
   /** Streaming word count over a directory of text files (reference
-    * word_count topology, O1–O5). Complete mode: the running totals. */
-  def wordCountStream(spark: SparkSession, inputDir: String): DataFrame =
-    Parity.wordCount(spark.readStream.text(inputDir))
+    * word_count topology, O1–O5). Complete mode: the running totals.
+    * maxFilesPerTrigger is the micro-batch size knob — the analogue of
+    * Crane's CRANE_BATCH_SIZE=500 (reference util.py:61). */
+  def wordCountStream(spark: SparkSession, inputDir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    Parity.wordCount(reader.text(inputDir))
+  }
 
   /** Streaming pagerank contributions (reference page_rank topology). */
   def pageRankStream(spark: SparkSession, inputDir: String): DataFrame =

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.operators.Parity
+
+/** Source/sink format coverage beyond parquet (SURVEY.md §2.1: text, CSV
+  * with schema, parquet; plus ORC round-trip for completeness).
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("CSV source with explicit schema matches the text+split parse") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("followers", IntegerType)))
+    val csv = spark.read.schema(schema).csv("/root/reference/app/twitter_5k.csv")
+    val viaCsv = Parity.filterCount(csv, "followers", 50.0).collect()(0).getLong(1)
+    val viaText = Parity.filterCount(
+      Parity.parseTwitter(spark.read.text("/root/reference/app/twitter_5k.csv")),
+      "followers", 50.0).collect()(0).getLong(1)
+    assert(viaCsv === viaText)
+  }
+
+  test("ORC round-trip preserves the q1 result") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Tables.lineitem(spark, sf0001).write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === Tables.lineitem(spark, sf0001).count())
+    assert(back.schema.fieldNames.toSeq ===
+      Tables.lineitem(spark, sf0001).schema.fieldNames.toSeq)
+  }
+
+  test("parquet sink round-trip of a query result") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val out = SparkEntry.queries("q1_pricing_summary")(spark, sf0001)
+    out.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("l_returnflag", "l_linestatus")
+    assert(back.collect().map(_.toSeq).toSeq === out.collect().map(_.toSeq).toSeq)
+  }
+
+  test("JSON source/sink round-trip (events projection)") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === ev.count())
+  }
+}
