@@ -63,6 +63,18 @@ object TextAnalysis {
           fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Token counting three ways: whitespace tokens, a BPE-ish regex
+    // lexer (letter runs / digit runs / single punctuation), and the
+    // ~4-chars-per-token estimate used for quick corpus sizing.
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("re_tokens"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Stopword-hit language ID with deterministic greatest/first-wins
     // tie-break (en > es > de > fr).
     "text_langid" -> ((s, dir) => {
@@ -109,6 +121,13 @@ object TextAnalysis {
          |             / nullif(len(string_split(text, ' ')), 0), 6) AS stopword_ratio,
          |       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH h AS (SELECT doc_id,

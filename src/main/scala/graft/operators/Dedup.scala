@@ -183,7 +183,32 @@ object Dedup {
 
     // Per-doc 32-bit simhash fingerprint.
     "dedup_simhash" -> ((s, dir) =>
-      simhash32(Tables.documents(s, dir)).orderBy("doc_id"))
+      simhash32(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Winnowing fingerprints (rolling-hash document fingerprinting):
+    // hash every 8-char gram, keep the min of each 16-gram window,
+    // dedupe — the classic local fingerprint set whose overlap detects
+    // partial/contained duplication (robust where whole-doc hashing
+    // fails). One narrow pass + a window over (doc, pos); linear at scale.
+    "doc_winnow_fingerprints" -> ((s, dir) => {
+      val K = 8; val W = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - (K - 1)).as("ngrams"),
+          explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"), col("ngrams"),
+          hash60(expr(s"substring(text, pos, $K)")).as("h"))
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") <= col("ngrams") - (W - 1))
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"))
+        .orderBy("doc_id")
+    })
   )
 
   // --- oracle SQL (generated to stay in lockstep with the Scala) -------
@@ -260,6 +285,21 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_winnow_fingerprints" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos, length(text) - 7 AS ngrams,
+         |         ${hash60Sql("substr(text, i, 8)")} AS h
+         |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+         |  WHERE length(text) >= 23 AND i <= length(text) - 7),
+         |wins AS (
+         |  SELECT doc_id, pos, ngrams,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+         |  FROM grams),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ngrams - 15)
+         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -41,6 +41,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dotproductfloat"), p) // codegen'd expression in use
   }
 
+  test("shuffle-hash hint plans a ShuffledHashJoin (SMJ alternative)") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.core.Tables.orders(spark, sf0001).hint("shuffle_hash")
+    val l = graft.core.Tables.lineitem(spark, sf0001)
+    val p = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("minhash signature aggregation stays in HashAggregate (numeric buffers)") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("SortAggregate"), s"minhash fell back to SortAggregate:\n$p")
