@@ -54,6 +54,16 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming arm of the dedup suite
+    * (graft.operators.Dedup covers batch). State is bounded by the
+    * watermark: keys older than it are evicted, so this runs forever on
+    * an unbounded stream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Run a (complete/update-mode) streaming aggregate to completion over
     * whatever is already in the source, collecting via a memory sink.
     * Trigger.AvailableNow processes the backlog in micro-batches then
