@@ -90,6 +90,41 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // IVF-style ANN: 16 fixed seed vectors act as coarse centroids; every
+    // vector is assigned to its nearest centroid (one broadcast pass),
+    // and each query searches only its own cell. The inverted-file
+    // layout that makes billion-vector search tractable — here with
+    // deterministic seeds (vec_id 16..31) instead of trained k-means so
+    // the oracle can replay it.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val cents = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+          col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cscore"), col("cent_id"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          (DotProductFloat(col("embedding"), col("cv")) /
+            (col("nrm") * col("cn"))).as("cscore"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Bucket histogram — the data profile an IVF/LSH planner needs.
     "ann_bucket_histogram" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -146,6 +181,29 @@ object Similarity {
 
     "ann_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
-         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id >= 16 AND vec_id < 32),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id) AS crank
+         |    FROM embeddings e, cents c)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM assigned e JOIN assigned q ON e.cell = q.cell
+         |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   )
 }
