@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet snapshots — the Spark-native mapping of the
+  * reference DFS's `sdfsname-v<N>` file versioning and `get-versions`
+  * (reference `dfs/dfs_server.py:280-298,318-346`, SURVEY.md §3.3):
+  * each write lands under `<base>/v=<N>`; reads address the latest or a
+  * specific version. Replication/repair is the filesystem's job
+  * (HDFS/S3), exactly as the survey scoped it.
+  *
+  * Layout is plain partition-style paths, so at scale a version is a
+  * normal parquet dataset: pruned scans, schema per snapshot,
+  * object-store friendly (no renames of existing data, append-only).
+  */
+object VersionedStore {
+
+  private def versionDirs(base: String): Seq[(Int, String)] = {
+    val p = Paths.get(base)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val it = Files.list(p).iterator()
+      val out = Seq.newBuilder[(Int, String)]
+      while (it.hasNext) {
+        val d = it.next()
+        val name = d.getFileName.toString
+        if (name.startsWith("v=") && Files.isDirectory(d))
+          scala.util.Try(name.drop(2).toInt).toOption
+            .foreach(v => out += v -> d.toString)
+      }
+      out.result().sortBy(_._1)
+    }
+  }
+
+  def listVersions(base: String): Seq[Int] = versionDirs(base).map(_._1)
+
+  /** Write the next version; returns its number (1-based). */
+  def write(df: DataFrame, base: String): Int = {
+    val next = listVersions(base).lastOption.getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(s"$base/v=$next")
+    next
+  }
+
+  def readVersion(spark: SparkSession, base: String, version: Int): DataFrame =
+    spark.read.parquet(s"$base/v=$version")
+
+  def readLatest(spark: SparkSession, base: String): DataFrame = {
+    val vs = listVersions(base)
+    require(vs.nonEmpty, s"no versions under $base")
+    readVersion(spark, base, vs.last)
+  }
+
+  /** Union of the last `n` versions tagged with their version number —
+    * the analogue of the reference's get-versions (≤5 concatenated
+    * versions, `dfs/dfs_client.py:158-170`). */
+  def readVersions(spark: SparkSession, base: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = listVersions(base).takeRight(n)
+    require(vs.nonEmpty, s"no versions under $base")
+    vs.map(v => readVersion(spark, base, v).withColumn("_version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+}
