@@ -301,6 +301,24 @@ object Relational {
           round(sqrt(abs(col("o_totalprice"))), 4).as("root"))
         .orderBy("o_orderkey")),
 
+    // Nested types end to end: build struct/map/array values, then
+    // navigate back out (getField / element_at / array algebra). The
+    // oracle checks the flattened outputs; the point here is that the
+    // nested construction round-trips losslessly through the engine.
+    "complex_types" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr")).as("meta"),
+          map(lit("status"), col("o_orderstatus"), lit("prio"), col("o_orderpriority")).as("m"),
+          array(col("o_orderkey"), col("o_custkey")).as("keys"))
+        .select(col("o_orderkey"),
+          col("meta.st").as("status_from_struct"),
+          element_at(col("m"), "prio").as("prio_from_map"),
+          size(col("keys")).as("n_keys"),
+          element_at(col("keys"), 2).as("custkey_from_array"),
+          array_contains(col("keys"), col("o_orderkey")).as("has_orderkey"))
+        .orderBy("o_orderkey")),
+
     // JSON extraction from the events.props string column.
     "json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -496,6 +514,15 @@ object Relational {
         |       CAST(day(o_orderdate) AS INT) AS o_day,
         |       round(o_totalprice * 2, 2) AS double_price,
         |       round(sqrt(abs(o_totalprice)), 4) AS root
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "complex_types" ->
+      """SELECT o_orderkey,
+        |       o_orderstatus AS status_from_struct,
+        |       o_orderpriority AS prio_from_map,
+        |       2 AS n_keys,
+        |       o_custkey AS custkey_from_array,
+        |       true AS has_orderkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "json_props" ->
