@@ -148,6 +148,10 @@ object Dedup {
         .orderBy("fingerprint")),
 
     // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5).
+    // Scale lever not needed at test SF: cap shingle document frequency
+    // (drop stop-shingles) before the self-join to bound the pair
+    // blowup on vocabulary-limited corpora; verify survivors on the
+    // full sets (as dedup_minhash_lsh's candidate/verify split does).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
       val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))

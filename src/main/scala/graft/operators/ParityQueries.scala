@@ -19,7 +19,11 @@ object ParityQueries {
 
     // O6+O7: one contribution round, weight 1/(n+1)
     // (reference app/page_rank_topology.py:13-18). Adjacency derived from
-    // orders: src=o_custkey, neighbors=its o_orderkeys.
+    // orders: src=o_custkey, neighbors=its o_orderkeys. collect_list
+    // exercises the adjacency-build operator; with skewed fan-out at
+    // scale, prefer the pure degree-join form (groupBy count + join) that
+    // never materializes neighbor arrays — Parity.pageRankContribs
+    // accepts either since it explodes immediately.
     "pagerank_contribs" -> ((s, dir) => {
       val adj = Tables.orders(s, dir)
         .groupBy(col("o_custkey").cast("string").as("src"))
