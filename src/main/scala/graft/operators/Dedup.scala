@@ -189,6 +189,18 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       simhash32(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // KMV (k-minimum-values) bottom-k sketch per document via the typed
+    // BottomK Aggregator (UDAF surface of O14): one-pass set signature
+    // whose overlap estimates Jaccard; partials merge in O(k).
+    "doc_kmv_sketch" -> ((s, dir) => {
+      val bottomk = udaf(graft.functions.BottomK(8))
+      stagedShingles(s, dir)
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(concat_ws(",", bottomk(col("h")).cast("array<string>")).as("sketch"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // hash every 8-char gram, keep the min of each 16-gram window,
     // dedupe — the classic local fingerprint set whose overlap detects
@@ -289,6 +301,12 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_kmv_sketch" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |       array_to_string(list_sort(list(DISTINCT ${hash60Sql("shingle")}))[1:8], ',') AS sketch
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_winnow_fingerprints" ->
       s"""WITH grams AS (
