@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** As-of (time-travel) join: attach to each left row the most recent
+  * right row with the same key and right.ts <= left.ts.
+  *
+  * Spark has no built-in as-of join; per the design preference order we
+  * COMPOSE it instead of writing a custom SparkPlan: tag and union both
+  * sides, hash-shuffle once on the key, sort within partitions by
+  * (ts, side), and carry the latest right-side values forward with
+  * last(_, ignoreNulls) over the running window. One Exchange + one
+  * sort — the same cost profile a dedicated merge-join operator would
+  * have, with AQE/spill/codegen for free.
+  */
+object AsOf {
+
+  /** leftTs/rightTs must be comparable types; rightCols are carried.
+    * Inner semantics: left rows with no prior right row are dropped. */
+  def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
+               right: DataFrame, rightKey: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val lPadded = rightCols.foldLeft(l)((df, c) =>
+      df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right
+      .withColumn("_k", col(rightKey)).withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+    val rPadded = left.columns.foldLeft(r)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side")) ++
+        rightCols.map(c => col(c).as(s"_r_$c"))): _*)
+
+    val unioned = lPadded
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side")) ++
+        rightCols.map(c => col(s"_r_$c"))): _*)
+      .unionByName(rPadded)
+
+    // right rows (side 0) sort before left rows (side 1) at equal ts, so
+    // a right row exactly at the left ts matches (ts >= semantics)
+    val w = Window.partitionBy("_k").orderBy("_ts", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"_last_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+
+    carried
+      .filter(col("_side") === 1)
+      .filter(col(s"_last_${rightCols.head}").isNotNull) // inner as-of
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"_last_$c").as(c))): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Each event joined to the customer's most recent order at event
+    // time. Right side deduped to one order per (custkey, orderdate)
+    // (max orderkey) so the as-of match is well-defined in both engines.
+    "asof_join_events_orders" -> ((s, dir) => {
+      val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(desc("o_orderkey"))
+      val ordersDedup = Tables.orders(s, dir)
+        .withColumn("_rn", row_number().over(dedupW))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+      val events = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts")
+      asOfJoin(events, "user_id", "ts",
+        ordersDedup, "o_custkey", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_join_events_orders" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin
+  )
+}
