@@ -138,6 +138,32 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // TPC-H Q10-style: revenue lost to returned items per customer.
+    // Fact-fact join shuffles once on orderkey; customer+nation broadcast.
+    "q10_returned_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Exact percentiles (sort-based aggregate; the exact twin of the
+    // approx_percentile scale path). Interpolation formula
+    // lower + (upper-lower)*frac matches DuckDB quantile_cont bitwise.
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+        .orderBy("l_returnflag")),
+
     // EXISTS → left-semi: orders with at least one high-quantity item.
     "join_semi" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48.0)
@@ -205,6 +231,22 @@ object Relational {
         .select(col("user_id"), col("event_id"),
           round(coalesce(col("prev_value"), lit(0.0)), 2).as("prev_value"), col("delta"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Distribution windows: ntile / percent_rank / cume_dist. All are
+    // exact integer ratios (k/(n-1), rows<=/n) → bit-identical across
+    // engines without rounding.
+    "window_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("bucket", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("bucket"), col("pr"), col("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
     }),
 
     // --- sort / limit / top-k -------------------------------------------
@@ -416,6 +458,34 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.5) AS median,
+        |       quantile_cont(l_quantity, 0.75) AS q75,
+        |       quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       ntile(4) OVER w AS bucket,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

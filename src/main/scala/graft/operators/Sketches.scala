@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.FreqItems
+
+/** Sketch-aggregate surface: engine-level approximate aggregates whose
+  * state is fixed-size per group (the 100 TB path for heavy hitters /
+  * distinct-ish questions — no raw-value shuffle, O(k) merge).
+  * Complements the typed BottomK Aggregator (doc_kmv_sketch) with a
+  * native TypedImperativeAggregate ([[graft.functions.FreqItemsSketch]]).
+  */
+object Sketches {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Misra-Gries heavy hitters over o_orderpriority (5-value domain,
+    // k=16 → sketch is exact, so the DuckDB GROUP BY oracle matches).
+    "freq_items_priority" -> ((s, dir) => {
+      val sk = Tables.orders(s, dir)
+        .agg(FreqItems.freqItemsSketch(col("o_orderpriority"), 16).as("sk"))
+      sk.select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy("item")
+    }),
+
+    // Grouped variant: per order-status priority frequencies; the sketch
+    // runs as a partial/final hash aggregate keyed by o_orderstatus.
+    "freq_items_by_status" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(FreqItems.freqItemsSketch(col("o_orderpriority"), 16).as("sk"))
+        .select(col("o_orderstatus"), explode(col("sk")).as("e"))
+        .select(col("o_orderstatus"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy("o_orderstatus", "item")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "freq_items_priority" ->
+      """SELECT o_orderpriority AS item, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY item""".stripMargin,
+    "freq_items_by_status" ->
+      """SELECT o_orderstatus, o_orderpriority AS item, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, item""".stripMargin
+  )
+}

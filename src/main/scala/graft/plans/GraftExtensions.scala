@@ -78,5 +78,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_float"),
         new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
         (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_items_sketch"),
+        new ExpressionInfo(classOf[graft.functions.FreqItemsSketch].getName, "freq_items_sketch"),
+        (children: Seq[Expression]) => {
+          val k = children(1) match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"freq_items_sketch: k must be an integer literal, got $other")
+          }
+          graft.functions.FreqItemsSketch(children.head, k).toAggregateExpression()
+        }))
   }
 }
