@@ -95,6 +95,23 @@ object Dedup {
           (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
   }
 
+  /** Near-dup candidate pairs from the inverted index with stop-shingles
+    * (document frequency > maxDf) removed first: each df-f shingle
+    * bucket emits O(f²) pairs in the self-join, so capping df bounds the
+    * candidate blowup on vocabulary-limited corpora. Candidates must be
+    * re-verified on FULL shingle sets (jaccardFor) — the cap prunes
+    * generation, not similarity. */
+  def cappedCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val idx = sh.join(rare, Seq("shingle"))
+    idx.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
@@ -165,6 +182,25 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           round(col("shared").cast("double") /
             (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Same result as dedup_ngram_jaccard, via the 100 TB candidate path:
+    // drop stop-shingles (document frequency > 64) from the inverted
+    // index BEFORE the self-join — a df-f bucket emits O(df²) pairs, so
+    // unbounded df is the operator's scale cliff — then verify the
+    // surviving candidates with exact Jaccard over the FULL shingle
+    // sets. A true near-dup pair (J ≥ 0.5) shares many shingles; it is
+    // recovered as long as any one of them is rare, so the cap changes
+    // candidates only, not reported pairs (spec + oracle assert
+    // equality with the uncapped query).
+    "dedup_ngram_jaccard_capped" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val cand = cappedCandidates(sh, maxDf = 64)
+      jaccardFor(cand, sh, counts)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     }),
@@ -260,7 +296,10 @@ object Dedup {
     .map(i => s"CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
     .mkString(" + ")
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    baseOracles + ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard"))
+
+  private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS copies

@@ -64,6 +64,23 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Synthetic generator spout: the built-in rate source emits
+    * monotonically increasing (timestamp, value) rows at rowsPerSecond,
+    * pre-partitioned across numPartitions — the load-generator analogue
+    * of a reference spout replaying a fixed feed, useful for soak/perf
+    * tests of any downstream pipeline without file staging. Downstream
+    * here: modular bucketing + running counts, the same declarative
+    * shape as the parity aggregations. */
+  def rateBucketCounts(spark: SparkSession, rowsPerSecond: Int = 1000,
+                       numPartitions: Int = 4, buckets: Int = 10): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", numPartitions)
+      .load()
+      .withColumn("bucket", pmod(col("value"), lit(buckets)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+
   /** Run a (complete/update-mode) streaming aggregate to completion over
     * whatever is already in the source, collecting via a memory sink.
     * Trigger.AvailableNow processes the backlog in micro-batches then

@@ -29,6 +29,38 @@ class LlmOpsSpec extends SparkSpec {
     })
   }
 
+  test("df-capped candidate generation reports the same pairs as uncapped") {
+    val uncapped = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run("dedup_ngram_jaccard_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+  }
+
+  test("df cap prunes stop-shingles from candidate generation but not results") {
+    import spark.implicits._
+    // "x y z" appears in EVERY doc (df=4 > cap=2) — a stop-shingle; docs
+    // 1/2 are near-dups sharing rare shingles too; docs 3/4 share ONLY
+    // the stop-shingle (low jaccard — never reportable).
+    val docs = Seq(
+      (1L, "x y z a b c d e"),
+      (2L, "x y z a b c d f"),
+      (3L, "x y z p q r s t"),
+      (4L, "x y z u v w m n")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val cand = Dedup.cappedCandidates(sh, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), "near-dup pair must survive the cap via its rare shingles")
+    assert(!cand.contains((3L, 4L)), "stop-shingle-only pair must be pruned")
+    // and the full capped query equals exact jaccard >= 0.5 on this corpus
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = Dedup.jaccardFor(Dedup.cappedCandidates(sh, 2), sh, counts)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
     val exact = run("dedup_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
