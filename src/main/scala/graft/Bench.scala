@@ -32,16 +32,19 @@ object Bench {
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     }
 
-    // Two timed passes, min per query: steady-state latency, robust to
-    // transient JIT-compile-queue / GC outliers observed on single runs.
-    def timedPass(): Seq[(String, Double)] = names.map { name =>
+    // Two timed passes PER QUERY, back to back, min of the two: the
+    // second pass runs while the query's generated code is still JIT-hot,
+    // so the min is steady-state latency. (Two full sweeps instead — the
+    // previous scheme — let the 55 intervening queries churn the code
+    // cache, and both passes of a heavy query could pay recompilation:
+    // observed 3-8x outliers that vanish when the query runs alone.)
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (k, v) => k -> math.min(v, p1(k)) }
+    val results = names.map(n => n -> math.min(timeOnce(n), timeOnce(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

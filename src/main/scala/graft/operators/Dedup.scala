@@ -77,10 +77,16 @@ object Dedup {
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-  /** Exact Jaccard for given candidate pairs via the shingle inverted
-    * index; per-doc counts ride along from the signature pass so the
-    * shingle pipeline is not re-evaluated for them. */
-  def jaccardFor(cand: DataFrame, sh: DataFrame, counts: DataFrame): DataFrame = {
+  /** Exact Jaccard for candidate pairs via inverted-index counting: one
+    * self-join on the shingle, semi-filtered to the candidates, then a
+    * shared-count aggregate. Right when candidates are MANY (e.g. the
+    * df-capped all-pairs path): shared counts for every co-occurring
+    * pair come out of one shuffle, no per-pair array materialization.
+    * Worst case is O(Σ df²) pair generation — for the few-candidate
+    * regime use [[jaccardBySets]] instead. Duplicate candidate rows are
+    * fine (left-semi), so callers need not dedup. */
+  def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val shared = a.join(b, Seq("shingle"))
@@ -95,6 +101,24 @@ object Dedup {
           (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
   }
 
+  /** Exact Jaccard for candidate pairs by per-doc shingle-set
+    * intersection: O(|candidates| × doc length), independent of shingle
+    * document frequency. Right when candidates are FEW (post-LSH): the
+    * inverted-index alternative would regenerate O(df²) pairs per
+    * stop-shingle bucket only to discard them, an adversarial-corpus
+    * cliff this path does not have. */
+  def jaccardBySets(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shset"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("shared")).cast("double")).as("jaccard"))
+  }
+
   /** Near-dup candidate pairs from the inverted index with stop-shingles
     * (document frequency > maxDf) removed first: each df-f shingle
     * bucket emits O(f²) pairs in the self-join, so capping df bounds the
@@ -106,10 +130,13 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select("shingle")
     val idx = sh.join(rare, Seq("shingle"))
+    // no distinct: downstream verification is a left-semi probe, which
+    // tolerates duplicate pairs — a pair-level dedup here would be a
+    // full extra shuffle of the candidate stream
     idx.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
   }
 
   // --- SimHash ----------------------------------------------------------
@@ -197,9 +224,8 @@ object Dedup {
     // equality with the uncapped query).
     "dedup_ngram_jaccard_capped" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val cand = cappedCandidates(sh, maxDf = 64)
-      jaccardFor(cand, sh, counts)
+      jaccardFor(cand, sh)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
@@ -215,7 +241,7 @@ object Dedup {
       val cand = l.join(r, Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      jaccardFor(cand, sh, sigs.select("doc_id", "c"))
+      jaccardBySets(cand, sh)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")

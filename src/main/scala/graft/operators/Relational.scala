@@ -164,6 +164,46 @@ object Relational {
           expr("percentile(l_extendedprice, 0.5)").as("median_price"))
         .orderBy("l_returnflag")),
 
+    // TPC-H Q18-style: orders whose total quantity across items exceeds
+    // a threshold (HAVING on a fact-side aggregate, then join back to
+    // the order header). Aggregate-before-join: the shuffle carries one
+    // row per qualifying order, not every lineitem.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // GROUPING SETS (beyond rollup/cube): two independent one-column
+    // groupings plus the grand total in one pass over orders.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+              |       coalesce(o_orderpriority, '(all)') AS priority,
+              |       count(*) AS n,
+              |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // Correlated scalar subquery (Catalyst decorrelates it to a join):
+    // per high-value order, the number of its lineitems.
+    "subquery_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq")
+      s.sql("""SELECT o_orderkey,
+              |       (SELECT count(*) FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS n_items
+              |FROM orders_sq
+              |WHERE o_totalprice > 400000
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // EXISTS → left-semi: orders with at least one high-quantity item.
     "join_semi" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48.0)
@@ -469,6 +509,31 @@ object Relational {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_custkey, o_totalprice
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT o_orderkey,
+        |       (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT l_returnflag,

@@ -54,8 +54,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(cand.contains((1L, 2L)), "near-dup pair must survive the cap via its rare shingles")
     assert(!cand.contains((3L, 4L)), "stop-shingle-only pair must be pruned")
     // and the full capped query equals exact jaccard >= 0.5 on this corpus
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pairs = Dedup.jaccardFor(Dedup.cappedCandidates(sh, 2), sh, counts)
+    val pairs = Dedup.jaccardFor(Dedup.cappedCandidates(sh, 2), sh)
       .filter(col("jaccard") >= 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
