@@ -56,42 +56,79 @@ object AsOf {
         rightCols.map(c => col(s"_last_$c").as(c))): _*)
   }
 
+  /** Same contract as [[asOfJoin]], executed by the native
+    * [[graft.plans.AsOfJoinExec]] operator (logical node + planner
+    * strategy injected via GraftExtensions): one exchange + one sort
+    * per side, then an O(1)-state streaming merge per partition.
+    * Requires key and ts columns to have matching types across sides.
+    */
+  def asOfJoinNative(left: DataFrame, leftKey: String, leftTs: String,
+                     right: DataFrame, rightKey: String, rightTs: String,
+                     rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val lp = PlanBridge.analyzed(left)
+    val rp = PlanBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTs), attr(rp, rightTs),
+        rightCols.map(attr(rp, _))))
+  }
+
+  /** Events joined to the customer's most recent order, right side
+    * deduped to one order per (custkey, orderdate). Shared by the
+    * compositional and native queries so both hit the same oracle. */
+  private def eventsOrdersAsOf(s: SparkSession, dir: String,
+      join: (DataFrame, String, String, DataFrame, String, String, Seq[String]) => DataFrame): DataFrame = {
+    val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(desc("o_orderkey"))
+    val ordersDedup = Tables.orders(s, dir)
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val events = Tables.events(s, dir)
+      .select("event_id", "user_id", "ts")
+    join(events, "user_id", "ts",
+      ordersDedup, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Each event joined to the customer's most recent order at event
     // time. Right side deduped to one order per (custkey, orderdate)
     // (max orderkey) so the as-of match is well-defined in both engines.
-    "asof_join_events_orders" -> ((s, dir) => {
-      val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
-        .orderBy(desc("o_orderkey"))
-      val ordersDedup = Tables.orders(s, dir)
-        .withColumn("_rn", row_number().over(dedupW))
-        .filter(col("_rn") === 1)
-        .drop("_rn")
-      val events = Tables.events(s, dir)
-        .select("event_id", "user_id", "ts")
-      asOfJoin(events, "user_id", "ts",
-        ordersDedup, "o_custkey", "o_orderdate",
-        Seq("o_orderkey", "o_totalprice"))
-        .select(col("event_id"), col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
-          col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
-        .orderBy("event_id")
-    })
+    "asof_join_events_orders" -> ((s, dir) =>
+      eventsOrdersAsOf(s, dir, asOfJoin)),
+
+    // Same semantics through the native whole-operator path
+    // (AsOfJoin logical node → AsOfJoinStrategy → AsOfJoinExec merge).
+    "asof_join_native" -> ((s, dir) =>
+      eventsOrdersAsOf(s, dir, asOfJoinNative))
   )
 
+  private val eventsOrdersOracle =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |         max(o_orderkey) AS o_orderkey,
+      |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |       o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+      |FROM events e ASOF JOIN o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "asof_join_events_orders" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderdate,
-        |         max(o_orderkey) AS o_orderkey,
-        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id,
-        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-        |       o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
-        |FROM events e ASOF JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY event_id""".stripMargin
+    "asof_join_events_orders" -> eventsOrdersOracle,
+    "asof_join_native" -> eventsOrdersOracle
   )
 }

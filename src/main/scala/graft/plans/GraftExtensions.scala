@@ -74,6 +74,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_float"),
         new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),

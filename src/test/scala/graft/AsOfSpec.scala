@@ -28,4 +28,63 @@ class AsOfSpec extends SparkSpec {
 
     assert(out === Map(1L -> 102L, 2L -> 101L, 3L -> 101L))
   }
+
+  test("native as-of operator agrees with the compositional one on the same case") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 05:00:00")),
+      (3L, 10L, ts("2024-01-01 00:00:00")),
+      (4L, 10L, ts("2023-12-31 23:59:59")),
+      (5L, 99L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 101L, 11.0),
+      (10L, ts("2024-01-01 06:00:00"), 102L, 22.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    val out = AsOf.asOfJoinNative(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey")).toMap
+    assert(out === Map(1L -> 102L, 2L -> 101L, 3L -> 101L))
+  }
+
+  test("native plan contains AsOfJoinExec with exchanges and sorts, no window") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:01"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val p = AsOf.asOfJoinNative(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      Seq("o_orderkey")).queryExecution.executedPlan.toString
+    // the physical node prints with the Exec suffix stripped
+    assert(p.contains("AsOfJoin"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Sort ["), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("native ≡ compositional on randomized data (incl. ties and dup keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // small ts/key domains force collisions, ties, and unmatched rows;
+    // right rows deduped per (key, ts) so the match is well-defined
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(f"2024-01-01 0${rnd.nextInt(10)}%01d:0${rnd.nextInt(6)}%01d0:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = rnd.shuffle((0 to 9).flatMap(k => (0 to 5).map(t =>
+      (k.toLong, ts(f"2024-01-01 0$t%01d:00:00")))))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .repartition(7)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).sortBy(_._1).toSeq
+
+    val a = canon(AsOf.asOfJoin(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice")))
+    val b = canon(AsOf.asOfJoinNative(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice")))
+    assert(a.nonEmpty && a === b)
+  }
 }
