@@ -179,6 +179,35 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // TPC-H Q14-style: promo revenue share — conditional aggregation
+    // over a broadcast dimension join; single scalar out.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          dsum(rev), 6).as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q19-style: disjunctive brand/size/quantity predicate across
+    // both join sides — the join stays an equi hash join on partkey, the
+    // OR-of-ANDs is a post-join filter Catalyst can't (and shouldn't)
+    // split.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 35)))
+        .agg(count(lit(1)).as("n_items"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // GROUPING SETS (beyond rollup/cube): two independent one-column
     // groupings plus the grand total in one pass over orders.
     "agg_grouping_sets" -> ((s, dir) => {
@@ -518,6 +547,22 @@ object Relational {
         |GROUP BY o_orderkey, o_custkey, o_totalprice
         |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -64,6 +64,24 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream interval join: pair each event with the same user's
+    * events in the following hour. Both sides carry watermarks so the
+    * join state is bounded — rows older than the watermark minus the
+    * interval are evicted; without them a stream-stream join buffers
+    * forever. Works identically on batch frames (the spec asserts
+    * stream ≡ batch). */
+  def intervalJoin(l: DataFrame, r: DataFrame): DataFrame = {
+    val le = l.select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+      col("ts").as("l_ts")).withWatermark("l_ts", "1 hour")
+    val re = r.select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+      col("ts").as("r_ts")).withWatermark("r_ts", "1 hour")
+    le.join(re,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Synthetic generator spout: the built-in rate source emits
     * monotonically increasing (timestamp, value) rows at rowsPerSecond,
     * pre-partitioned across numPartitions — the load-generator analogue

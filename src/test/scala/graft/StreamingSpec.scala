@@ -101,6 +101,25 @@ class StreamingSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, sf0001).count() > 0, s"$name empty")
   }
 
+  test("stream-stream interval join ≡ batch join on the same events") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val schema = batchEvents.schema
+    val dir = Files.createTempDirectory("graft-events-ssj")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    def streamed = spark.readStream.schema(schema).parquet(dir.toString)
+
+    val got = Streams.runToCompletion(spark,
+      Streams.intervalJoin(streamed, streamed), "interval_join_stream", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streams.intervalJoin(batchEvents, batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(batch.nonEmpty, "batch interval join found no pairs")
+    // inner stream-stream join: every match emits once both sides have
+    // arrived; with a full drain the result must equal batch exactly
+    assert(got === batch)
+  }
+
   test("rate-source generator spout feeds a running bucket aggregation") {
     val q = Streams.rateBucketCounts(spark, rowsPerSecond = 2000, numPartitions = 4)
       .writeStream.outputMode("complete").format("memory")
