@@ -25,6 +25,17 @@ object Sketches {
         .orderBy("item")
     }),
 
+    // Mergeable HLL distinct: per-status customer sketches unioned into
+    // a global estimate — the re-aggregatable rollup pattern (store the
+    // sketch, answer distinct questions without rescanning). Approximate
+    // by design → no DuckDB oracle (driver records a rows-only check).
+    "hll_union_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_customers"))
+    }),
+
     // Grouped variant: per order-status priority frequencies; the sketch
     // runs as a partial/final hash aggregate keyed by o_orderstatus.
     "freq_items_by_status" -> ((s, dir) => {
