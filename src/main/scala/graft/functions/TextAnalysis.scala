@@ -103,6 +103,31 @@ object TextAnalysis {
         .select(col("doc_id"), round(score, 6).as("quality"),
           (score > 0.5).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Top-3 characteristic terms per doc by a TF-IDF-style weight. The
+    // weight is the exact rational tf * N / df (not tf*log(N/df)):
+    // integer inputs through IEEE ops give bit-identical doubles in
+    // both engines, where log would differ in the last ulp. Same
+    // ranking monotonicity in df for fixed tf. Corpus size N joins in
+    // as a broadcast 1-row aggregate — no driver-side count.
+    "text_tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val terms = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+        .orderBy("doc_id", "rn")
     })
   )
 
@@ -149,6 +174,23 @@ object TextAnalysis {
          |  (CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
          |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
          |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0))) > 0.5 AS keep
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tnz AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tnz GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tnz GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }

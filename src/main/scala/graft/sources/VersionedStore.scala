@@ -43,6 +43,18 @@ object VersionedStore {
     next
   }
 
+  /** Idempotent per-micro-batch write for streaming foreachBatch sinks:
+    * the version number is derived from the batch id, and a replayed
+    * batch (restart between sink write and checkpoint commit) OVERWRITES
+    * its own version instead of appending a duplicate — upgrading
+    * foreachBatch's at-least-once to exactly-once, the same trick as
+    * the reference's replay timer but with deterministic content. */
+  def writeBatch(df: DataFrame, base: String, batchId: Long): Int = {
+    val v = batchId.toInt + 1
+    df.write.mode("overwrite").parquet(s"$base/v=$v")
+    v
+  }
+
   def readVersion(spark: SparkSession, base: String, version: Int): DataFrame =
     spark.read.parquet(s"$base/v=$version")
 

@@ -64,6 +64,21 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Drain a stream into a [[graft.sources.VersionedStore]] via
+    * foreachBatch: one store version per micro-batch, idempotent on
+    * replay (version = batch id), checkpointed — an exactly-once
+    * versioned sink. */
+  def runVersionedSink(df: DataFrame, base: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.VersionedStore.writeBatch(batch.toDF(), base, id): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream interval join: pair each event with the same user's
     * events in the following hour. Both sides carry watermarks so the
     * join state is bounded — rows older than the watermark minus the

@@ -30,4 +30,29 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.readVersion(spark, base, 1)
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
+
+  test("foreachBatch versioned sink: one version per batch, exactly-once on rerun") {
+    val in = Files.createTempDirectory("graft-vsink-in")
+    Files.writeString(in.resolve("a.txt"), "alpha\nbeta\n")
+    Files.writeString(in.resolve("b.txt"), "gamma\n")
+    val base = Files.createTempDirectory("graft-vsink-store").toString
+    val cp = Files.createTempDirectory("graft-vsink-cp").toString
+
+    // one file per micro-batch → one store version per batch
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1).text(in.toString)
+    graft.streaming.Streams.runVersionedSink(stream, base, cp)
+
+    val versions = VersionedStore.listVersions(base)
+    assert(versions.size === 2, s"expected one version per micro-batch, got $versions")
+    val total = versions.map(v =>
+      VersionedStore.readVersion(spark, base, v).count()).sum
+    assert(total === 3, "sink must write every input line exactly once")
+
+    // rerun with the same checkpoint: the drained source has no new
+    // data, so no new versions and no duplicated rows
+    graft.streaming.Streams.runVersionedSink(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(in.toString), base, cp)
+    assert(VersionedStore.listVersions(base) === versions)
+    assert(versions.map(v => VersionedStore.readVersion(spark, base, v).count()).sum === 3)
+  }
 }
