@@ -139,6 +139,37 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** Prefix-filtered near-dup candidates (the PPJoin family's prefix
+    * principle): order all shingles canonically by ascending document
+    * frequency (rarest first, ties by value), keep only each document's
+    * first c - ceil(t*c) + 1 shingles in that order, and self-join just
+    * those. Two docs with Jaccard >= t MUST share a prefix shingle — if
+    * they only shared suffix (frequent) shingles, fewer than t*c of
+    * their shingles could overlap. Candidates shrink from "any shared
+    * shingle" to typically a few per doc, and because prefixes hold the
+    * RAREST shingles, the df² bucket blowup concentrates where df is
+    * smallest. Lossless for threshold t, unlike a df cap. */
+  def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.orderBy("df", "shingle")
+    // global shingle rank table: small (one row per distinct shingle);
+    // the single-partition window is over this side table only, never
+    // the corpus — at extreme vocabulary sizes swap for zipWithIndex
+    val ranks = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(rankW))
+      .select("shingle", "rank")
+    val docW = Window.partitionBy("doc_id").orderBy("rank")
+    val prefixes = sh.join(ranks, Seq("shingle"))
+      .withColumn("rn", row_number().over(docW))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("c") - ceil(lit(t) * col("c")) + 1)
+      .select("doc_id", "shingle")
+    prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
@@ -226,6 +257,16 @@ object Dedup {
       val sh = stagedShingles(s, dir)
       val cand = cappedCandidates(sh, maxDf = 64)
       jaccardFor(cand, sh)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Same reported pairs again via lossless prefix filtering: few
+    // candidates (set-intersection verify), no df cap needed.
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      jaccardBySets(prefixCandidates(sh, 0.5).distinct(), sh)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
@@ -323,7 +364,9 @@ object Dedup {
     .mkString(" + ")
 
   def oracles: Map[String, String] =
-    baseOracles + ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard"))
+    baseOracles +
+      ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard")) +
+      ("dedup_ngram_jaccard_prefix" -> baseOracles("dedup_ngram_jaccard"))
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->

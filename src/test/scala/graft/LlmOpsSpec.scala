@@ -37,6 +37,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("prefix-filtered candidates (lossless) report the same pairs as uncapped") {
+    val uncapped = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = run("dedup_ngram_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === uncapped)
+  }
+
+  test("prefix candidate stream is smaller than share-any-shingle candidates") {
+    val sh = Dedup.stagedShingles(spark, sf0001)
+    val all = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b")).count()
+    val pref = Dedup.prefixCandidates(sh, 0.5).count()
+    assert(pref < all, s"prefix filtering did not reduce candidates: $pref vs $all")
+  }
+
   test("df cap prunes stop-shingles from candidate generation but not results") {
     import spark.implicits._
     // "x y z" appears in EVERY doc (df=4 > cap=2) — a stop-shingle; docs
