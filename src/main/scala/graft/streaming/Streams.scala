@@ -85,7 +85,7 @@ object Streams {
     * interval are evicted; without them a stream-stream join buffers
     * forever. Works identically on batch frames (the spec asserts
     * stream ≡ batch). */
-  def intervalJoin(l: DataFrame, r: DataFrame): DataFrame = {
+  def intervalJoin(l: DataFrame, r: DataFrame, joinType: String = "inner"): DataFrame = {
     val le = l.select(col("user_id").as("l_user"), col("event_id").as("l_id"),
       col("ts").as("l_ts")).withWatermark("l_ts", "1 hour")
     val re = r.select(col("user_id").as("r_user"), col("event_id").as("r_id"),
@@ -93,7 +93,8 @@ object Streams {
     le.join(re,
       col("l_user") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
   }
 

@@ -120,6 +120,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("stream-stream LEFT OUTER interval join: inner rows exact, null-extensions valid") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val schema = batchEvents.schema
+    val dir = Files.createTempDirectory("graft-events-ssoj")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    def streamed = spark.readStream.schema(schema).parquet(dir.toString)
+
+    val got = Streams.runToCompletion(spark,
+      Streams.intervalJoin(streamed, streamed, "left_outer"), "louter_join_stream",
+      mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val inner = Streams.intervalJoin(batchEvents, batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val matchedLefts = inner.map(_._2)
+
+    // every inner match must be emitted, exactly as in batch
+    assert(got.filter(_._3 != -1L) === inner)
+    // null-extended rows may only be lefts with NO match; the watermark
+    // decides WHEN they emit (tail rows can be withheld), never invents
+    // matches
+    val nullLefts = got.filter(_._3 == -1L).map(_._2)
+    assert(nullLefts.intersect(matchedLefts).isEmpty,
+      "a matched left row must never also emit null-extended")
+  }
+
   test("rate-source generator spout feeds a running bucket aggregation") {
     val q = Streams.rateBucketCounts(spark, rowsPerSecond = 2000, numPartitions = 4)
       .writeStream.outputMode("complete").format("memory")
