@@ -318,6 +318,36 @@ object Relational {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // RANGE frame keyed on event time (not row counts): each event's
+    // value sum over the user's trailing hour. Epoch-second ordering so
+    // both engines agree on frame membership exactly.
+    "window_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("hr_sum",
+          sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), round(col("hr_sum"), 2).as("hr_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // first/last/nth over the whole partition (explicit unbounded frame:
+    // last_value defaults to current-row otherwise).
+    "window_value_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // --- sort / limit / top-k -------------------------------------------
     // Global top-k: Spark plans TakeOrderedAndProject — each partition
     // keeps k rows, driver merges k*partitions, no full sort at scale.
@@ -596,6 +626,23 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS hr_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "window_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
