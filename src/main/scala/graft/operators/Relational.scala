@@ -318,6 +318,20 @@ object Relational {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Wide→long reshape (melt): each lineitem's numeric measures become
+    // (measure, value) rows via the native unpivot operator — a
+    // projection-only transform, no shuffle.
+    "unpivot_measures" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("value"), 2).as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
     // RANGE frame keyed on event time (not row counts): each event's
     // value sum over the user's trailing hour. Epoch-second ordering so
     // both engines agree on frame membership exactly.
@@ -626,6 +640,19 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "window_range_frame" ->
       """SELECT user_id, event_id,
