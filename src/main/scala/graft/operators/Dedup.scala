@@ -149,7 +149,10 @@ object Dedup {
     * shingle" to typically a few per doc, and because prefixes hold the
     * RAREST shingles, the df² bucket blowup concentrates where df is
     * smallest. Lossless for threshold t, unlike a df cap. */
-  def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+  /** Each document's prefix shingles under the rarest-first canonical
+    * order: the first c - ceil(t*c) + 1 of its shingles by (df, value).
+    */
+  def prefixes(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // global rank SIDE TABLE (one int per distinct shingle): the
     // per-doc windows then sort cheap ints, not (df, string) tuples —
@@ -162,16 +165,29 @@ object Dedup {
       .withColumn("rank", row_number().over(rankW))
       .select("shingle", "rank")
     val docW = Window.partitionBy("doc_id").orderBy("rank")
-    val prefixes = sh.join(ranks, Seq("shingle"))
+    sh.join(ranks, Seq("shingle"))
       .withColumn("rn", row_number().over(docW))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= col("c") - ceil(lit(t) * col("c")) + 1)
-      .select("doc_id", "shingle")
-    prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .select("doc_id", "shingle", "c")
   }
+
+  /** Self-join a prefix index (doc_id, shingle, c) into ordered candidate
+    * pairs with PPJoin's length filter: J(x,y) >= t forces
+    * |y| >= ceil(t*|x|) and vice versa (the intersection is at most the
+    * smaller set yet at least t of the union), so size-incompatible
+    * pairs are pruned before they reach verification — lossless. */
+  def pairsSharing(idx: DataFrame, t: Double): DataFrame =
+    idx.select(col("doc_id").as("doc_a"), col("shingle"), col("c").as("ca"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle"), col("c").as("cb")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("cb") >= ceil(lit(t) * col("ca")) &&
+        col("ca") >= ceil(lit(t) * col("cb")))
+      .select("doc_a", "doc_b")
+
+  def prefixCandidates(sh: DataFrame, t: Double): DataFrame =
+    pairsSharing(prefixes(sh, t), t)
 
   // --- SimHash ----------------------------------------------------------
 
@@ -206,14 +222,21 @@ object Dedup {
     * local analogue of checkpointing the inverted index before LSH at
     * cluster scale. */
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  def stagedShingles(s: SparkSession, dir: String): DataFrame = {
-    val stage = stagedDirs.getOrElseUpdate(s.hashCode() + "|" + dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft-shingles").toString
-      shingles(Tables.documents(s, dir)).write.mode("overwrite").parquet(d)
+  private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val stage = stagedDirs.getOrElseUpdate(s.hashCode() + "|" + key, {
+      val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
+      build.write.mode("overwrite").parquet(d)
       d
     })
     s.read.parquet(stage)
   }
+  def stagedShingles(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir)(shingles(Tables.documents(s, dir)))
+  /** Prefix index staged like the shingle index: the candidate self-join
+    * references it twice, and re-running two window pipelines per branch
+    * dominated the query's cost. */
+  def stagedPrefixes(s: SparkSession, dir: String, t: Double): DataFrame =
+    staged(s, s"$dir|prefix|$t")(prefixes(stagedShingles(s, dir), t))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -269,7 +292,7 @@ object Dedup {
     // candidates (set-intersection verify), no df cap needed.
     "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      jaccardBySets(prefixCandidates(sh, 0.5).distinct(), sh)
+      jaccardBySets(pairsSharing(stagedPrefixes(s, dir, 0.5), 0.5).distinct(), sh)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
