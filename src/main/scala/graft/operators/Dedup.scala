@@ -318,6 +318,32 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       simhash32(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Banded simhash near-dup pairs: split the 32-bit fingerprint into
+    // 4 byte-blocks; by pigeonhole any pair with hamming distance <= 3
+    // agrees on at least one whole block, so an equi-join on
+    // (block index, block value) finds all such pairs without an
+    // all-pairs scan. Exact integer arithmetic end-to-end (bit_count of
+    // xor) — byte-identical across engines. At scale the fingerprint
+    // table would be persisted once rather than recomputed per branch.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val fp = simhash32(Tables.documents(s, dir))
+      val bands = fp.select(col("doc_id"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.b").as("b"), col("e.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("sig")), Seq("b", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sha")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("shb")), "doc_b")
+        .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // KMV (k-minimum-values) bottom-k sketch per document via the typed
     // BottomK Aggregator (UDAF surface of O14): one-pass set signature
     // whose overlap estimates Jaccard; partials merge in O(k).
@@ -464,6 +490,28 @@ object Dedup {
          |         $simhashBitSums
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, $simhashValue AS simhash
-         |FROM sums ORDER BY doc_id""".stripMargin
+         |FROM sums ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (
+         |  SELECT doc_id,
+         |         $simhashBitSums
+         |  FROM toks GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $simhashValue AS simhash FROM sums),
+         |bands AS (
+         |  SELECT doc_id, simhash, (simhash >> (8 * CAST(t.b AS INTEGER))) & 255 AS sig, t.b
+         |  FROM fp, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.sig = b2.sig
+         |   AND a.doc_id < b2.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN fp fa ON c.doc_a = fa.doc_id
+         |JOIN fp fb ON c.doc_b = fb.doc_id
+         |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
