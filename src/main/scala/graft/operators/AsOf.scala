@@ -24,12 +24,19 @@ object AsOf {
   def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
                right: DataFrame, rightKey: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
+    // SQL equi-join semantics: null keys/timestamps never match — without
+    // this filter the window partitioning would group null keys TOGETHER
+    // and "match" them (unlike the native AsOfJoinExec, which skips them)
     val l = left
+      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
       .withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
     val lPadded = rightCols.foldLeft(l)((df, c) =>
       df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    // a null-ts right row would sort first and be carried forward as a
+    // "match" — exclude, as the native operator does
     val r = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .withColumn("_k", col(rightKey)).withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
     val rPadded = left.columns.foldLeft(r)((df, c) =>

@@ -63,6 +63,27 @@ class AsOfSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("null keys and timestamps never match, in BOTH implementations") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(ts("2024-01-01 10:00:00"))), // normal match
+      (2L, None, Some(ts("2024-01-01 10:00:00"))),      // null key: dropped
+      (3L, Some(10L), None)                             // null ts: dropped
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts("2024-01-01 00:00:00")), 101L, 1.0),
+      (None, Some(ts("2024-01-01 00:00:00")), 102L, 2.0), // null key: never a match
+      (Some(10L), None, 103L, 3.0)                        // null ts: never a match
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    for (impl <- Seq(AsOf.asOfJoin _, AsOf.asOfJoinNative _)) {
+      val out = impl(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey")).toMap
+      assert(out === Map(1L -> 101L))
+    }
+  }
+
   test("native ≡ compositional on randomized data (incl. ties and dup keys)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
