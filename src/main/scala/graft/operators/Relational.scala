@@ -179,6 +179,77 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // TPC-H Q7-style: shipping revenue between a supplier nation and a
+    // customer nation, by ship year. Both nation lookups broadcast; the
+    // only real shuffles are lineitem⋈orders and the final group-by.
+    "q7_nation_trade" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        // round the exact DECIMAL sum BEFORE casting to double: both
+        // engines round decimals HALF_UP exactly, where rounding the
+        // double hits .xx5 representation boundaries (observed here)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q13-style: distribution of per-customer order counts (left
+    // join keeps zero-order customers; two exact integer aggregations).
+    "q13_order_distribution" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q17-style: revenue that would be lost by refusing orders
+    // below 20% of a part's average quantity — correlated average via
+    // aggregate-then-join (never a per-row subquery at scale).
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val avgQty = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22-style: above-average-balance customers split by whether
+    // they ever ordered (scalar aggregate + existence flag via a
+    // distinct-key left join), per segment. A flag instead of an anti
+    // join keeps the result nonempty at any scale factor.
+    "q22_idle_balances" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("has_orders", col("o_custkey").isNotNull)
+        .groupBy("c_mktsegment", "has_orders")
+        .agg(count(lit(1)).as("numcust"),
+          round(dsum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_mktsegment", "has_orders")
+    }),
+
     // TPC-H Q14-style: promo revenue share — conditional aggregation
     // over a broadcast dimension join; single scalar out.
     "q14_promo_revenue" -> ((s, dir) => {
@@ -591,6 +662,49 @@ object Relational {
         |GROUP BY o_orderkey, o_custkey, o_totalprice
         |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      """WITH avg_qty AS (
+        |  SELECT l_partkey AS ap_key,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS aq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |JOIN avg_qty ON l_partkey = ap_key
+        |WHERE l_quantity < 0.2 * aq""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders,
+        |       count(*) AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, has_orders""".stripMargin,
 
     "q14_promo_revenue" ->
       """SELECT round(100.0 *
