@@ -19,7 +19,10 @@ import graft.core.Tables
   */
 object EventTime {
 
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Decimal-rounded sum — see Relational.rsum2 for why rounding happens
+    * before the double cast. */
+  private def rsum2(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -28,7 +31,7 @@ object EventTime {
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), rsum2(col("value")).as("total"))
         .select(fmt(col("w.start")).as("window_start"), col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")),
 
@@ -36,7 +39,7 @@ object EventTime {
     "events_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), rsum2(col("value")).as("total"))
         .select(fmt(col("w.start")).as("window_start"), col("n"), col("total"))
         .orderBy("window_start")),
 
@@ -44,7 +47,7 @@ object EventTime {
     "events_session" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(dsum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n_events"), rsum2(col("value")).as("total"))
         .select(col("user_id"), fmt(col("w.start")).as("session_start"),
           col("n_events"), col("total"))
         .orderBy("user_id", "session_start"))
@@ -54,7 +57,7 @@ object EventTime {
     "events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     // Each event belongs to the 30m-aligned window at time_bucket(30m, ts)
@@ -62,7 +65,7 @@ object EventTime {
     "events_sliding" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |       count(*) AS n,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
         |             - k * INTERVAL '30 minutes' AS ws, value
         |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
@@ -85,7 +88,7 @@ object EventTime {
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       count(*) AS n_events,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -24,6 +24,14 @@ object Relational {
   /** Exact cross-engine sum via DECIMAL(18,4) — see SparkEntry.dsum. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** Sum rounded to 2 places ON THE DECIMAL, then cast to double: both
+    * engines round decimals HALF_UP exactly, whereas rounding the
+    * double-cast sum hits .xx5 representation boundaries where Spark
+    * (BigDecimal HALF_UP) and DuckDB (scaled nearbyint) disagree.
+    * DuckDB twin: CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE). */
+  private def rsum2(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- scans -----------------------------------------------------------
@@ -42,9 +50,9 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(dsum(col("l_quantity")), 2).as("sum_qty"),
-          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          rsum2(col("l_quantity")).as("sum_qty"),
+          rsum2(col("l_extendedprice")).as("sum_base_price"),
+          rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
           round(dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -58,7 +66,7 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(round(dsum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(rsum2(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))),
 
     "agg_distinct" -> ((s, dir) =>
@@ -75,7 +83,7 @@ object Relational {
     "agg_rollup" -> ((s, dir) =>
       Tables.orders(s, dir)
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(dsum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), rsum2(col("o_totalprice")).as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
@@ -85,7 +93,7 @@ object Relational {
     "agg_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), round(dsum(col("l_quantity")), 2).as("qty"))
+        .agg(count(lit(1)).as("n"), rsum2(col("l_quantity")).as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
@@ -100,7 +108,7 @@ object Relational {
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")),
 
@@ -113,7 +121,7 @@ object Relational {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
@@ -134,7 +142,7 @@ object Relational {
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -146,7 +154,7 @@ object Relational {
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
     }),
@@ -246,7 +254,7 @@ object Relational {
         .withColumn("has_orders", col("o_custkey").isNotNull)
         .groupBy("c_mktsegment", "has_orders")
         .agg(count(lit(1)).as("numcust"),
-          round(dsum(col("c_acctbal")), 2).as("totacctbal"))
+          rsum2(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_mktsegment", "has_orders")
     }),
 
@@ -276,7 +284,7 @@ object Relational {
           (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 35)))
         .agg(count(lit(1)).as("n_items"),
-          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
 
     // GROUPING SETS (beyond rollup/cube): two independent one-column
@@ -286,7 +294,7 @@ object Relational {
       s.sql("""SELECT coalesce(o_orderstatus, '(all)') AS status,
               |       coalesce(o_orderpriority, '(all)') AS priority,
               |       count(*) AS n,
-              |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+              |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
               |FROM orders_gs
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY status, priority""".stripMargin)
@@ -332,7 +340,7 @@ object Relational {
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_fast"), round(dsum(col("l_extendedprice")), 2).as("value"))
+        .agg(count(lit(1)).as("n_fast"), rsum2(col("l_extendedprice")).as("value"))
         .orderBy("o_orderstatus")),
 
     // --- windows ---------------------------------------------------------
@@ -574,9 +582,9 @@ object Relational {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |       count(*) AS count_order
@@ -586,7 +594,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -603,7 +611,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
         |       coalesce(o_orderpriority, '(all)') AS o_orderpriority,
         |       count(*) AS n,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
@@ -611,20 +619,20 @@ object Relational {
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
         |       coalesce(l_linestatus, '(all)') AS l_linestatus,
         |       count(*) AS n,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS qty
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "join_broadcast_agg" ->
       """SELECT p_brand,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -634,7 +642,7 @@ object Relational {
 
     "q5_region_revenue" ->
       """SELECT r_name, n_name,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -645,7 +653,7 @@ object Relational {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -701,7 +709,7 @@ object Relational {
         |SELECT c_mktsegment,
         |       EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders,
         |       count(*) AS numcust,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
         |FROM customer, ab
         |WHERE c_acctbal > ab.avg_bal
         |GROUP BY 1, 2 ORDER BY c_mktsegment, has_orders""".stripMargin,
@@ -716,7 +724,7 @@ object Relational {
 
     "q19_disjunctive_revenue" ->
       """SELECT count(*) AS n_items,
-        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
@@ -726,7 +734,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,
         |       count(*) AS n,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
@@ -799,7 +807,7 @@ object Relational {
 
     "join_range" ->
       """SELECT o_orderstatus, count(*) AS n_fast,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS value
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
