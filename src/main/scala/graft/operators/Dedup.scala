@@ -189,6 +189,44 @@ object Dedup {
   def prefixCandidates(sh: DataFrame, t: Double): DataFrame =
     pairsSharing(prefixes(sh, t), t)
 
+  /** Connected components over an undirected edge list (doc_a, doc_b) by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels; fixpoint = each node labeled with the smallest
+    * id in its component. Rounds needed ≤ graph diameter — duplicate
+    * clusters are shallow, so this converges in a handful of rounds.
+    * localCheckpoint() per round cuts the lineage (the classic iterative-
+    * algorithm trap: an uncut plan doubles per iteration). This is the
+    * cluster-resolution step a dedup pipeline needs between near-dup
+    * PAIR detection and choosing one canonical doc per duplicate group.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("doc").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("dst_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
@@ -268,6 +306,26 @@ object Dedup {
             (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Duplicate-cluster resolution: connected components over the exact
+    // near-dup pair graph (J >= 0.5), labeling every involved doc with
+    // the smallest doc_id in its cluster — the canonical representative
+    // a dedup pipeline keeps. Oracle: DuckDB recursive CTE reachability.
+    "dedup_clusters" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val edges = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+        .filter(col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
+        .select("doc_a", "doc_b")
+      connectedComponents(edges).orderBy("doc_id")
     }),
 
     // Same result as dedup_ngram_jaccard, via the 100 TB candidate path:
@@ -438,6 +496,26 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, root) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.doc)
+         |SELECT doc AS doc_id, min(root) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
