@@ -11,7 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the full machine: the CPU-bound queries (dedup candidate
+    // verification, large aggregations) scale near-linearly with cores
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -38,17 +40,32 @@ object Bench {
     // previous scheme — let the 55 intervening queries churn the code
     // cache, and both passes of a heavy query could pay recompilation:
     // observed 3-8x outliers that vanish when the query runs alone.)
-    def timeOnce(name: String): Double = {
+    // A failed query must NOT masquerade as a fast one: report it as -1
+    // and list it under "errors" instead of timing the failure path.
+    def timeOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = names.map(n => n -> math.min(timeOnce(n), timeOnce(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val (t1, ok1) = timeOnce(n)
+      val (t2, ok2) = timeOnce(n)
+      (n, math.min(t1, t2), ok1 && ok2)
+    }
+    val errors = results.collect { case (n, _, false) => n }
+    // 3-decimal times keep the whole line well under the driver's output
+    // tail window; sub-millisecond precision is noise anyway
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

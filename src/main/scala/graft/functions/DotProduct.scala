@@ -17,13 +17,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * inside WholeStageCodegen: no allocation, no boxing.
   *
   * Semantics match the interpreted/oracle formulation exactly: each float
-  * is widened to double, products accumulate sequentially left-to-right
-  * over the common prefix; null input array → null.
+  * is widened to double, products accumulate sequentially left-to-right;
+  * null input array → null; arrays of UNEQUAL length → null (zip_with
+  * pads the shorter with nulls, so the padded products poison the sum);
+  * any null ELEMENT → null (null product poisons the accumulating add).
+  * This exactness is what lets [[graft.plans.RewriteDotProduct]] fire
+  * unconditionally.
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null even for non-null inputs: ragged lengths / null elements
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -39,10 +46,12 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -54,13 +63,21 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // the null checks stay out of the hot path's way: length mismatch
+      // branches once per row, isNullAt is a bit test the JIT hoists for
+      // arrays whose null bitmap is absent
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

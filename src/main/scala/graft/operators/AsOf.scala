@@ -24,6 +24,14 @@ object AsOf {
   def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
                right: DataFrame, rightKey: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // The carried right-side payload travels as ONE struct column, so
+    // last(_, ignoreNulls) always takes every carried value from the SAME
+    // right row — carrying each column independently would stitch values
+    // from different rows whenever a carried column is null, and a null
+    // head-column would wrongly drop a matched row at the inner filter.
+    val payloadType = StructType(rightCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     // SQL equi-join semantics: null keys/timestamps never match — without
     // this filter the window partitioning would group null keys TOGETHER
     // and "match" them (unlike the native AsOfJoinExec, which skips them)
@@ -31,36 +39,34 @@ object AsOf {
       .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
       .withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-    val lPadded = rightCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_r", lit(null).cast(payloadType))
     // a null-ts right row would sort first and be carried forward as a
     // "match" — exclude, as the native operator does
     val r = right
       .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .withColumn("_k", col(rightKey)).withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
+      .withColumn("_r", struct(rightCols.map(col): _*))
     val rPadded = left.columns.foldLeft(r)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side")) ++
-        rightCols.map(c => col(c).as(s"_r_$c"))): _*)
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side"), col("_r"))): _*)
 
-    val unioned = lPadded
-      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side")) ++
-        rightCols.map(c => col(s"_r_$c"))): _*)
+    val unioned = l
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side"), col("_r"))): _*)
       .unionByName(rPadded)
 
     // right rows (side 0) sort before left rows (side 1) at equal ts, so
-    // a right row exactly at the left ts matches (ts >= semantics)
+    // a right row exactly at the left ts matches (ts >= semantics). The
+    // struct is non-null for every right row (even if all fields are
+    // null), so its non-nullness IS the match marker.
     val w = Window.partitionBy("_k").orderBy("_ts", "_side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"_last_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-
-    carried
+    unioned
+      .withColumn("_last", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .filter(col(s"_last_${rightCols.head}").isNotNull) // inner as-of
+      .filter(col("_last").isNotNull) // inner as-of
       .select((left.columns.map(col) ++
-        rightCols.map(c => col(s"_last_$c").as(c))): _*)
+        rightCols.map(c => col(s"_last.$c").as(c))): _*)
   }
 
   /** Same contract as [[asOfJoin]], executed by the native

@@ -43,15 +43,21 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Declarative twin of decodeMeta (same arithmetic in pure columns) so
-    // the binary plumbing is oracle-checked end to end.
+    // the binary plumbing is oracle-checked end to end. first_byte is the
+    // raw first UTF-8 BYTE (hex of the binary cast), matching the
+    // mapPartitions twin's blob(0) & 0xff — ascii(substring(text,1,1))
+    // would be the first CHARACTER's codepoint, which diverges on any
+    // non-ASCII document.
     "multimodal_meta" -> ((s, dir) => {
-      val blobLen = length(col("text").cast("binary"))
+      val blob = col("text").cast("binary")
+      val blobLen = length(blob)
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
           blobLen.as("n_bytes"),
-          when(length(col("text")) === 0, lit(-1))
-            .otherwise(ascii(substring(col("text"), 1, 1))).as("first_byte"),
+          when(blobLen === 0, lit(-1))
+            .otherwise(conv(substring(hex(blob), 1, 2), 16, 10).cast("int"))
+            .as("first_byte"),
           (blobLen % 64 + 1).as("fake_width"),
           (floor(blobLen / 64) % 64 + 1).cast("int").as("fake_height"))
         .orderBy("doc_id")
@@ -61,9 +67,14 @@ object Multimodal {
       decodeMeta(Tables.documents(s, dir)).toDF().orderBy("doc_id"))
   )
 
+  // first_byte = raw first UTF-8 byte via hex digits (DuckDB has no
+  // direct blob[0] → int), matching Spark's conv(substr(hex(blob),1,2))
   private val metaSql =
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      |       CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+      |       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+      |            ELSE CAST(16*(strpos('0123456789ABCDEF', substr(hex(encode(text)),1,1))-1)
+      |                    + strpos('0123456789ABCDEF', substr(hex(encode(text)),2,1))-1 AS INT)
+      |       END AS first_byte,
       |       octet_length(encode(text)) % 64 + 1 AS fake_width,
       |       (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin

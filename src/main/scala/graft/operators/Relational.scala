@@ -903,7 +903,7 @@ object Relational {
 
     "json_props" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "array_ops" ->

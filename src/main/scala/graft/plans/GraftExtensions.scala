@@ -17,8 +17,11 @@ import graft.functions.DotProductFloat
   * expression. Users (and composed library code) write the idiomatic
   * functions-API formulation; the plan executes the tight primitive loop
   * (HOFs are CodegenFallback — interpreted, allocating an intermediate
-  * array per row). Semantics are identical: float widened to double,
-  * sequential accumulation over the common prefix.
+  * array per row). Semantics are identical, including the edge cases:
+  * float widened to double, sequential accumulation; ragged lengths and
+  * null elements yield null in BOTH formulations (zip_with pads/passes
+  * nulls which poison the sum; DotProductFloat checks explicitly), so
+  * the rewrite is safe on any input, not just clean embeddings.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 

@@ -17,28 +17,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedStore {
 
-  private def versionDirs(base: String): Seq[(Int, String)] = {
+  private def versionDirs(base: String): Seq[(Long, String)] = {
     val p = Paths.get(base)
     if (!Files.isDirectory(p)) Seq.empty
     else {
       val it = Files.list(p).iterator()
-      val out = Seq.newBuilder[(Int, String)]
+      val out = Seq.newBuilder[(Long, String)]
       while (it.hasNext) {
         val d = it.next()
         val name = d.getFileName.toString
         if (name.startsWith("v=") && Files.isDirectory(d))
-          scala.util.Try(name.drop(2).toInt).toOption
+          scala.util.Try(name.drop(2).toLong).toOption
             .foreach(v => out += v -> d.toString)
       }
       out.result().sortBy(_._1)
     }
   }
 
-  def listVersions(base: String): Seq[Int] = versionDirs(base).map(_._1)
+  def listVersions(base: String): Seq[Long] = versionDirs(base).map(_._1)
 
   /** Write the next version; returns its number (1-based). */
-  def write(df: DataFrame, base: String): Int = {
-    val next = listVersions(base).lastOption.getOrElse(0) + 1
+  def write(df: DataFrame, base: String): Long = {
+    val next = listVersions(base).lastOption.getOrElse(0L) + 1
     df.write.mode("errorifexists").parquet(s"$base/v=$next")
     next
   }
@@ -49,13 +49,15 @@ object VersionedStore {
     * its own version instead of appending a duplicate — upgrading
     * foreachBatch's at-least-once to exactly-once, the same trick as
     * the reference's replay timer but with deterministic content. */
-  def writeBatch(df: DataFrame, base: String, batchId: Long): Int = {
-    val v = batchId.toInt + 1
+  def writeBatch(df: DataFrame, base: String, batchId: Long): Long = {
+    // version stays a Long: truncating the batch id to Int would wrap a
+    // long-lived stream past Int.MaxValue batches into colliding versions
+    val v = batchId + 1
     df.write.mode("overwrite").parquet(s"$base/v=$v")
     v
   }
 
-  def readVersion(spark: SparkSession, base: String, version: Int): DataFrame =
+  def readVersion(spark: SparkSession, base: String, version: Long): DataFrame =
     spark.read.parquet(s"$base/v=$version")
 
   def readLatest(spark: SparkSession, base: String): DataFrame = {

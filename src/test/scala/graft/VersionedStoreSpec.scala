@@ -22,7 +22,7 @@ class VersionedStoreSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
 
     val last2 = VersionedStore.readVersions(spark, base, 2)
-    assert(last2.select("_version").distinct().collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+    assert(last2.select("_version").distinct().collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
     assert(last2.count() === 3)
 
     // a new write never mutates existing versions (append-only layout)

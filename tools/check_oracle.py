@@ -41,10 +41,20 @@ def main(outdir, sfdir):
             print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
         if got.shape != exp.shape:
             print(f"SHAPE    {name}: spark {got.shape} duckdb {exp.shape}"); n_bad += 1; continue
+        # the driver's hash compare is value-repr sensitive: an int64 vs
+        # float64 column (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float)
+        # hash-mismatches even when values are numerically equal
+        dtype_warn = [c for c in got.columns
+                      if (got[c].dtype.kind in "if") != (exp[c].dtype.kind in "if")
+                      or (got[c].dtype.kind == "i") != (exp[c].dtype.kind == "i")]
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
-            print(f"OK       {name} ({got.shape[0]} rows)"); n_ok += 1
+            if dtype_warn:
+                print(f"DTYPE    {name}: {[(c, str(got[c].dtype), str(exp[c].dtype)) for c in dtype_warn]}")
+                n_bad += 1
+            else:
+                print(f"OK       {name} ({got.shape[0]} rows)"); n_ok += 1
         except AssertionError as e:
             print(f"MISMATCH {name}: {str(e).splitlines()[-1][:200]}"); n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
