@@ -152,18 +152,32 @@ object Dedup {
   /** Each document's prefix shingles under the rarest-first canonical
     * order: the first c - ceil(t*c) + 1 of its shingles by (df, value).
     */
+  /** Global rarest-first rank per distinct shingle, fully distributed:
+    * a range-partitioned sort on (df, shingle) followed by RDD
+    * zipWithIndex — contiguous global ranks with NO single-partition
+    * window (the previous side-table approach funneled the whole
+    * vocabulary through one task; at 100 TB the vocabulary alone is
+    * billions of shingles). zipWithIndex costs one extra lightweight
+    * job (per-partition counts) and keeps the sort parallel. */
+  def shingleRanks(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = sh.sparkSession
+    val sorted = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .sort("df", "shingle") // total order: shingle is distinct here
+      .select("shingle")
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) => Row(row.get(0), i + 1L) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      sorted.schema.head.copy(nullable = false), StructField("rank", LongType, nullable = false))))
+  }
+
   def prefixes(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // global rank SIDE TABLE (one int per distinct shingle): the
-    // per-doc windows then sort cheap ints, not (df, string) tuples —
+    // global rank SIDE TABLE (one long per distinct shingle): the
+    // per-doc windows then sort cheap longs, not (df, string) tuples —
     // measured 10x faster than ordering doc windows by the tuple
-    // directly. The single-partition window is over the vocabulary
-    // side table only, never the corpus; at extreme vocabulary sizes
-    // swap for zipWithIndex
-    val rankW = Window.orderBy("df", "shingle")
-    val ranks = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(rankW))
-      .select("shingle", "rank")
+    // directly
+    val ranks = shingleRanks(sh)
     val docW = Window.partitionBy("doc_id").orderBy("rank")
     sh.join(ranks, Seq("shingle"))
       .withColumn("rn", row_number().over(docW))
