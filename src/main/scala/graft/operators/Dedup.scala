@@ -50,13 +50,9 @@ object Dedup {
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
 
-  /** 60-bit numeric hash: first 15 hex digits of md5, as BIGINT. Numeric
-    * (not the md5 string) so min() aggregates in a HashAggregate with a
-    * primitive mutable buffer — string buffers force SortAggregate, which
-    * sorts the whole shingle set at every use. DuckDB twin: generated
-    * digit-shift sum (exact; avoids double-precision 16^k). */
-  private def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** 60-bit numeric md5 hash (see [[graft.functions.PortableHash]] for
+    * why numeric: HashAggregate-friendly primitive agg buffers). */
+  private def hash60(s: Column): Column = graft.functions.PortableHash.hash60(s)
 
   /** Per-doc minhash signature h0..h15 + shingle count c, in ONE
     * hash aggregation pass over the shingle index. */
@@ -386,6 +382,33 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Asymmetric CONTAINMENT dedup: C(a ⊆ b) = |A∩B| / |A| — catches a
+    // doc whose shingles are mostly inside a LARGER doc (quote blocks,
+    // boilerplate wrappers, truncated re-crawls), which symmetric
+    // Jaccard misses because the big doc's size dilutes the union. One
+    // inverted-index self-join produces the shared counts for both
+    // directions at once; each unordered pair then emits up to two
+    // ordered (src contained-in dst) rows.
+    "dedup_containment" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val shared = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+        (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
+      val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+        (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+      fwd.union(rev)
+        .filter(col("containment") >= 0.8)
+        .select(col("src_doc"), col("dst_doc"), round(col("containment"), 6).as("containment"))
+        .orderBy("src_doc", "dst_doc")
+    }),
+
     // Per-doc 32-bit simhash fingerprint.
     "dedup_simhash" -> ((s, dir) =>
       simhash32(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -464,12 +487,8 @@ object Dedup {
       |       (SELECT unnest(generate_series(1, 4096)) AS i)
       |  WHERE i + 2 <= len(ws))""".stripMargin
 
-  /** DuckDB twin of hash60: exact digit-shift sum over the first 15 md5
-    * hex chars (16^k in BIGINT shifts, not double pow). */
-  private def hash60Sql(arg: String): String =
-    (1 to 15).map { k =>
-      s"(CAST(strpos('0123456789abcdef', substr(md5($arg), $k, 1)) - 1 AS BIGINT) << ${4 * (15 - k)})"
-    }.mkString("(", " + ", ")")
+  /** DuckDB twin of hash60 (see [[graft.functions.PortableHash.sql]]). */
+  private def hash60Sql(arg: String): String = graft.functions.PortableHash.sql(arg)
 
   private val minhashCols = (0 until NumHashes)
     .map(i => s"min(${hash60Sql(s"'$i|' || shingle")}) AS h$i").mkString(", ")
@@ -553,6 +572,25 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT doc_a, doc_b, shared, ca.c AS ca, cb.c AS cb
+         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id),
+         |dirs AS (
+         |  SELECT doc_a AS src_doc, doc_b AS dst_doc,
+         |         CAST(shared AS DOUBLE) / ca AS containment FROM joined
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(shared AS DOUBLE) / cb FROM joined)
+         |SELECT src_doc, dst_doc, round(containment, 6) AS containment
+         |FROM dirs WHERE containment >= 0.8
+         |ORDER BY src_doc, dst_doc""".stripMargin,
 
     "doc_kmv_sketch" ->
       s"""WITH $shingleCte

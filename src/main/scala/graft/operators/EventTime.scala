@@ -43,6 +43,35 @@ object EventTime {
         .select(fmt(col("w.start")).as("window_start"), col("n"), col("total"))
         .orderBy("window_start")),
 
+    // Interval LEFT OUTER join: every click, with the purchases the same
+    // user made within the following hour (attribution join). The equi
+    // key (user_id) keeps this a hash/sort-merge join with the time
+    // bounds as a residual filter — never a nested-loop — and unmatched
+    // clicks survive with null purchase columns. This is the batch twin
+    // of the watermarked stream-stream interval join in graft.streaming:
+    // at scale the same bounds that filter rows here bound the join
+    // STATE there.
+    "join_interval_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+      clicks
+        .join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pts") > col("cts") &&
+            col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy(col("click_id"), col("user_id"), col("cts"))
+        .agg(count(col("p_user")).as("n_purchases_1h"),
+          fmt(min(col("pts"))).as("first_purchase_ts"),
+          rsum2(col("value")).as("purchase_value"))
+        .select(col("click_id"), col("user_id"), fmt(col("cts")).as("click_ts"),
+          col("n_purchases_1h"), col("first_purchase_ts"), col("purchase_value"))
+        .orderBy("click_id")
+    }),
+
     // Session windows per user, 30-minute inactivity gap.
     "events_session" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -89,6 +118,24 @@ object EventTime {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       count(*) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "join_interval_outer" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, ts AS pts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, c.user_id,
+        |       strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       count(p_user) AS n_purchases_1h,
+        |       strftime(min(pts), '%Y-%m-%d %H:%M:%S') AS first_purchase_ts,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchase_value
+        |FROM clicks c LEFT JOIN p
+        |  ON c.user_id = p.p_user
+        | AND pts > cts AND pts <= cts + INTERVAL '1 hour'
+        |GROUP BY click_id, c.user_id, cts
+        |ORDER BY click_id""".stripMargin
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iterative graph analytics — the multi-round generalization of the
+  * reference's single contribution round (reference
+  * `app/page_rank_topology.py:22-38` computes exactly one sparse
+  * matrix-vector step; real PageRank iterates it).
+  *
+  * The kernel here is the iterated sparse matvec r_{k+1} = Wᵀ·r_k over an
+  * edge list — the exact data-flow shape of distributed PageRank,
+  * label propagation, and Katz centrality. Each round is one join
+  * (edges ⋈ ranks on src, a hash shuffle co-partitioned across rounds)
+  * plus one aggregation on dst. Weights and ranks stay INTEGER so every
+  * engine computes bit-identical results (double matvec sums are
+  * partition-order dependent; integer sums are exact and
+  * order-independent — the same trick real systems use when they
+  * quantize PageRank to fixed-point for determinism).
+  *
+  * localCheckpoint() per round cuts lineage — the classic iterative-job
+  * trap where the logical plan doubles per iteration until the driver
+  * chokes on analysis, long before data size matters.
+  */
+object Graph {
+
+  /** Nation-level trade graph: edge src → dst weighted by the number of
+    * lineitems a supplier in `src` shipped to a customer in `dst`.
+    * Dimension joins broadcast; the only fact shuffle is
+    * lineitem ⋈ orders on the order key. Self-loops dropped. */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("src"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("dst"))
+    Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** `iters` rounds of r_{k+1}(j) = Σ_{i→j} w(i,j)·r_k(i), starting from
+    * r_0 ≡ 1. Nodes with no in-edges drop out after round 1 (nothing
+    * flows into them), mirroring the unrolled SQL. Long arithmetic
+    * overflows past ~sf1 at 3 iterations (max rank ≈ (Σw)³); production
+    * would renormalize per round, which would leave integers. */
+  def powerIterate(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    var ranks = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("r", lit(1L))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("r_src")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Three exact integer matvec rounds over the nation trade graph.
+    "graph_power_rank" -> ((s, dir) =>
+      powerIterate(tradeEdges(s, dir), 3)
+        .select(col("node"), col("r"))
+        .orderBy("node"))
+  )
+
+  private val edgeCte =
+    """e AS (
+      |  SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name <> n2.n_name
+      |  GROUP BY 1, 2)""".stripMargin
+
+  // each round's sum is cast back to BIGINT: DuckDB sum(BIGINT) widens
+  // to HUGEINT, which the compare renders as float
+  private def roundCte(k: Int): String =
+    s"""r$k AS (
+       |  SELECT e.dst AS node, CAST(sum(e.w * r${k - 1}.r) AS BIGINT) AS r
+       |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+       |  GROUP BY 1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "graph_power_rank" ->
+      s"""WITH $edgeCte,
+         |r0 AS (
+         |  SELECT node, CAST(1 AS BIGINT) AS r
+         |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)}
+         |SELECT node, r FROM r3 ORDER BY node""".stripMargin
+  )
+}

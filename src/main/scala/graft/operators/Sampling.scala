@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.PortableHash
+
+/** Deterministic hash-based sampling and splitting — how a training
+  * pipeline carves reproducible train/val/test sets and cheap stratified
+  * samples out of a 100 TB corpus. Random sampling (rand(), reservoir)
+  * is NOT reproducible across engines, retries, or re-partitions; a
+  * content hash of a stable key is — the same row lands in the same
+  * split on every run of every engine, and adding data never reshuffles
+  * existing assignments. Pure narrow projection + one aggregation: no
+  * shuffle until the final count.
+  */
+object Sampling {
+
+  /** Percent bucket 0..99 from a stable key. */
+  def hashBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(PortableHash.hash60(key.cast("string")), lit(100L))
+
+  private def rsum2(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 80/10/10 split assignment + per-stratum audit: event counts and
+    // value mass per (event_type, split) prove the split is unbiased
+    // across strata without materializing any split.
+    "sample_hash_split" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", hashBucket(col("event_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("n"), rsum2(col("value")).as("value_sum"))
+        .orderBy("event_type", "split")),
+
+    // Stratified 10% sample (bucket 0 of 10 per doc), with per-language
+    // acceptance stats — the reproducible corpus-thinning pass.
+    "sample_stratified_docs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("sampled",
+          pmod(PortableHash.hash60(col("doc_id").cast("string")), lit(10L)) === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          min(when(col("sampled"), col("doc_id"))).as("first_sampled_doc"))
+        .orderBy("lang"))
+  )
+
+  private val bucketSql = s"${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 100"
+
+  def oracles: Map[String, String] = Map(
+    "sample_hash_split" ->
+      s"""SELECT event_type,
+         |       CASE WHEN $bucketSql < 80 THEN 'train'
+         |            WHEN $bucketSql < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n,
+         |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin,
+
+    "sample_stratified_docs" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |       min(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN doc_id END) AS first_sampled_doc
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

@@ -125,6 +125,40 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar-quantized search: each dimension is linearly quantized
+    // to an 8-bit code against its corpus-wide [min, max] (one tiny
+    // broadcast stats table), and ranking uses the symmetric INTEGER
+    // dot product of zero-centered codes — the int8-SIMD trick
+    // production vector stores use, which shrinks a float32 corpus 4×
+    // so far more of it fits executor memory. Integer scores are exact
+    // and summation-order independent, so the exploded join+agg
+    // formulation (codes ⋈ broadcast query codes on dim, then one hash
+    // aggregate) is deterministic at any parallelism.
+    "ann_sq8_topk" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      val codes = ex.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0),
+              lit(255.0)).cast("long"))
+            .as("code"))
+      val q = codes.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("dim"), col("code").as("qcode"))
+      val scored = codes.join(broadcast(q), Seq("dim"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum((col("code") - 128) * (col("qcode") - 128)).as("score_int"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score_int"), col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("score_int"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Bucket histogram — the data profile an IVF/LSH planner needs.
     "ann_bucket_histogram" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -182,6 +216,31 @@ object Similarity {
     "ann_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann_sq8_topk" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         |codes AS (
+         |  SELECT vec_id, ex.dim,
+         |         CASE WHEN mx = mn THEN 0
+         |              ELSE CAST(least(floor((x - mn) / (mx - mn) * 256.0), 255.0) AS BIGINT)
+         |         END AS code
+         |  FROM ex JOIN stats ON ex.dim = stats.dim),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         CAST(sum((e.code - 128) * (q.code - 128)) AS BIGINT) AS score_int
+         |  FROM codes e JOIN codes q ON e.dim = q.dim
+         |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score_int,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score_int DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, score_int
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH cents AS (

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Sampling}
+
+/** Unit-level checks for the round-2 operators: iterated integer matvec,
+  * hash splitting, containment dedup, SQ8 quantization. The DuckDB
+  * oracle covers end-to-end equality; these pin the exact small-case
+  * semantics a refactor could silently change.
+  */
+class GraphSamplingSpec extends SparkSpec {
+
+  test("powerIterate computes exact integer matvec rounds on a known graph") {
+    import spark.implicits._
+    // a -(2)-> b -(3)-> c, a -(1)-> c
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 3L))
+      .toDF("src", "dst", "w")
+    // r0 = 1 everywhere; r1(b) = 2, r1(c) = 1 + 3 = 4
+    val r1 = Graph.powerIterate(edges, 1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === Map("b" -> 2L, "c" -> 4L)) // a has no in-edges -> drops
+    // r2 uses r1 (missing nodes contribute nothing): r2(c) = w(b,c)*r1(b) = 6; b gets nothing (a absent)
+    val r2 = Graph.powerIterate(edges, 2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 === Map("c" -> 6L))
+  }
+
+  test("trade graph power rank is stable across runs and nonempty") {
+    val a = Graph.queries("graph_power_rank")(spark, sf0001).collect()
+    val b = Graph.queries("graph_power_rank")(spark, sf0001).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("hash split is deterministic, complete, and roughly 80/10/10") {
+    val splits = Sampling.queries("sample_hash_split")(spark, sf001)
+      .groupBy("split").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = splits.values.sum
+    assert(splits.keySet === Set("train", "val", "test"))
+    assert(total === graft.core.Tables.events(spark, sf001).count())
+    val trainFrac = splits("train").toDouble / total
+    assert(trainFrac > 0.75 && trainFrac < 0.85, s"train fraction $trainFrac")
+  }
+
+  test("containment finds subset docs that symmetric jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a strict subset of doc 1's shingles (first 5 tokens of 12)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3-gram shingles: doc1 has 10, doc2 has 3, all of doc2's inside doc1
+    assert(counts === Map(1L -> 10L, 2L -> 3L))
+    val jaccard = 3.0 / (10 + 3 - 3) // 0.3 — below any dedup threshold
+    assert(jaccard < 0.5)
+    val cont = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") === 2 && col("doc_b") === 1)
+      .count()
+    assert(cont === 3L) // containment(2 in 1) = 3/3 = 1.0
+  }
+
+  test("sq8 codes stay in [0, 255] and extremes hit the rails") {
+    import spark.implicits._
+    val ex = Seq((0L, 0.0), (1L, 1.0), (2L, 0.5), (3L, 0.999))
+      .toDF("vec_id", "x").withColumn("dim", lit(0))
+    val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    val codes = ex.join(stats, "dim")
+      .select(col("vec_id"),
+        least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0), lit(255.0))
+          .cast("long").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(0L) === 0L)   // min -> 0
+    assert(codes(1L) === 255L) // max clamps to 255
+    assert(codes(2L) === 128L)
+    assert(codes.values.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("interval outer join keeps purchase-less clicks with null aggregates") {
+    val out = graft.operators.EventTime.queries("join_interval_outer")(spark, sf0001)
+    val rows = out.collect()
+    val clicks = graft.core.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(rows.length.toLong === clicks) // left outer: one row per click
+    val unmatched = rows.filter(_.getLong(3) == 0L)
+    assert(unmatched.nonEmpty)
+    assert(unmatched.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+}
