@@ -54,4 +54,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("SortAggregate"), s"minhash fell back to SortAggregate:\n$p")
   }
+
+  test("trade-graph edges broadcast every dimension; one fact-fact shuffle join") {
+    val p = graft.operators.Graph.tradeEdges(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p) // supplier/customer/nation x2
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sq8 quantization broadcasts the per-dimension stats and query codes") {
+    val p = plan("ann_sq8_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval outer join keeps the equi key (no nested loop)") {
+    val p = plan("join_interval_outer")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
