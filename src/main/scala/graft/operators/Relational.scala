@@ -159,6 +159,112 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q4-style: orders with any lineitem shipped 60+ days after
+    // the order date, counted by priority. EXISTS as a LEFT SEMI join —
+    // equi key + date residual, one shuffle, no row multiplication.
+    "q4_priority_late" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q8-style: NATION_3 suppliers' share of revenue to ASIA
+    // customers, by order year. Two nation lookups broadcast twice;
+    // share = ratio of two DECIMAL-exact sums (deterministic division).
+    "q8_market_share" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) /
+            dsum(rev), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q12-style (shipmode → ship year): high- vs low-priority
+    // lineitem counts per year shipped — conditional aggregation over
+    // the one fact-fact shuffle.
+    "q12_priority_by_shipyear" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_year")),
+
+    // TPC-H Q15-style: the top-revenue supplier(s) of 1997. The scalar
+    // max joins back as a broadcast — revenue compared on the ROUNDED
+    // decimal sum so the equality is exact in both engines.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1997)
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("supplier_no") === col("s_suppkey"))
+        .select(col("supplier_no"), col("s_name"), col("total_revenue"))
+        .orderBy("supplier_no")
+    }),
+
+    // TPC-H Q16-style: supplier variety per (brand, type, size) for
+    // non-PROMO parts, with the part-supplier relation derived from
+    // observed lineitems (no partsupp table in this schema).
+    "q16_part_supplier_variety" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+      ps.join(broadcast(Tables.part(s, dir).filter(col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q21-style: suppliers who were the SOLE latest shipper in
+    // multi-supplier orders (the "kept everyone waiting" analogue
+    // without receipt/commit dates). Two aggregates over the fact, an
+    // equi join back with a max-date residual — no window over the
+    // whole fact, no nested loop.
+    "q21_slowest_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") >= 2)
+        .select(col("l_orderkey").as("ok"), col("max_ship"))
+      val soleLatest = li
+        .join(perOrder, col("l_orderkey") === col("ok") && col("l_shipdate") === col("max_ship"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_latest"), max(col("l_suppkey")).as("the_supp"))
+        .filter(col("n_latest") === 1)
+      soleLatest
+        .groupBy(col("the_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), "s_suppkey")
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
     // Exact percentiles (sort-based aggregate; the exact twin of the
     // approx_percentile scale path). Interpolation formula
     // lower + (upper-lower)*frac matches DuckDB quantile_cont bitwise.
@@ -683,6 +789,73 @@ object Relational {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name < n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+        |                                THEN l_extendedprice * (1 - l_discount)
+        |                                ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |             6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q12_priority_by_shipyear" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY ship_year""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem WHERE year(l_shipdate) = 1997
+        |  GROUP BY 1)
+        |SELECT supplier_no, s_name, total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY supplier_no""".stripMargin,
+
+    "q16_part_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q21_slowest_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2),
+        |sole AS (
+        |  SELECT l.l_orderkey, max(l.l_suppkey) AS the_supp
+        |  FROM lineitem l JOIN per_order
+        |    ON l.l_orderkey = ok AND l.l_shipdate = max_ship
+        |  GROUP BY 1 HAVING count(DISTINCT l.l_suppkey) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM sole JOIN supplier ON the_supp = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
