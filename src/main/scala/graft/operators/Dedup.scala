@@ -172,29 +172,46 @@ object Dedup {
     // global rank SIDE TABLE (one long per distinct shingle): the
     // per-doc windows then sort cheap longs, not (df, string) tuples —
     // measured 10x faster than ordering doc windows by the tuple
-    // directly
+    // directly. rn (the shingle's 1-based position in the doc's
+    // canonical order) rides along for the positional filter.
     val ranks = shingleRanks(sh)
     val docW = Window.partitionBy("doc_id").orderBy("rank")
     sh.join(ranks, Seq("shingle"))
       .withColumn("rn", row_number().over(docW))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= col("c") - ceil(lit(t) * col("c")) + 1)
-      .select("doc_id", "shingle", "c")
+      .select("doc_id", "shingle", "c", "rn")
   }
 
-  /** Self-join a prefix index (doc_id, shingle, c) into ordered candidate
-    * pairs with PPJoin's length filter: J(x,y) >= t forces
-    * |y| >= ceil(t*|x|) and vice versa (the intersection is at most the
-    * smaller set yet at least t of the union), so size-incompatible
-    * pairs are pruned before they reach verification — lossless. */
-  def pairsSharing(idx: DataFrame, t: Double): DataFrame =
-    idx.select(col("doc_id").as("doc_a"), col("shingle"), col("c").as("ca"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("shingle"), col("c").as("cb")),
+  /** Self-join a prefix index (doc_id, shingle, c, rn) into ordered
+    * candidate pairs with PPJoin's two lossless prunes:
+    *
+    *  - LENGTH filter: J(x,y) >= t forces |y| >= ceil(t*|x|) and vice
+    *    versa (the intersection is at most the smaller set yet at least
+    *    t of the union);
+    *  - POSITIONAL filter: J >= t also forces overlap
+    *    O >= ceil(t/(1+t) * (|x|+|y|)). For a true pair, take its FIRST
+    *    common shingle in the canonical order, at positions (rn_a, rn_b):
+    *    every other common shingle sits after it in both docs, so
+    *    O <= 1 + min(|x|-rn_a, |y|-rn_b). Any pair whose every prefix
+    *    match fails that bound cannot reach the overlap threshold — it
+    *    is dropped before the (much costlier) exact verification.
+    *
+    * The 1e-9 slack keeps double rounding from ever pushing the
+    * threshold ABOVE the true ceil (which would lossily drop a pair
+    * sitting exactly on the overlap boundary); it can only let a few
+    * extra candidates through, and exact verification removes those. */
+  def pairsSharing(idx: DataFrame, t: Double): DataFrame = {
+    val alpha = ceil(lit(t / (1 + t) - 1e-9) * (col("ca") + col("cb")))
+    idx.select(col("doc_id").as("doc_a"), col("shingle"), col("c").as("ca"), col("rn").as("rna"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle"), col("c").as("cb"), col("rn").as("rnb")),
         Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("cb") >= ceil(lit(t) * col("ca")) &&
         col("ca") >= ceil(lit(t) * col("cb")))
+      .filter(lit(1) + least(col("ca") - col("rna"), col("cb") - col("rnb")) >= alpha)
       .select("doc_a", "doc_b")
+  }
 
   def prefixCandidates(sh: DataFrame, t: Double): DataFrame =
     pairsSharing(prefixes(sh, t), t)
