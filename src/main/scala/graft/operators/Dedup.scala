@@ -216,6 +216,23 @@ object Dedup {
   def prefixCandidates(sh: DataFrame, t: Double): DataFrame =
     pairsSharing(prefixes(sh, t), t)
 
+  /** Exact near-dup pair graph (J >= 0.5) from the staged inverted
+    * index — the edge input to cluster resolution. */
+  private def neardupEdges(s: SparkSession, dir: String): DataFrame = {
+    val sh = stagedShingles(s, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .filter(col("shared").cast("double") /
+        (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
+      .select("doc_a", "doc_b")
+  }
+
   /** Connected components over an undirected edge list (doc_a, doc_b) by
     * iterative min-label propagation: every node starts labeled with its
     * own id; each round every node takes the min of its label and its
@@ -302,6 +319,17 @@ object Dedup {
     * dominated the query's cost. */
   def stagedPrefixes(s: SparkSession, dir: String, t: Double): DataFrame =
     staged(s, s"$dir|prefix|$t")(prefixes(stagedShingles(s, dir), t))
+  /** Simhash fingerprints staged too: the banded-pair query references
+    * the fingerprint table THREE times (band explode + two verify
+    * joins), and each reference re-ran the 32-conditional-sum aggregate
+    * over every token. */
+  def stagedSimhash(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|simhash")(simhash32(Tables.documents(s, dir)))
+  /** Minhash signatures staged: the LSH band self-join references the
+    * signature table on both sides — unstaged, that is 2x16 md5 hashes
+    * per shingle instead of 1x16. */
+  def stagedMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|minhash")(minhashSignature(stagedShingles(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -339,20 +367,21 @@ object Dedup {
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
     // the smallest doc_id in its cluster — the canonical representative
     // a dedup pipeline keeps. Oracle: DuckDB recursive CTE reachability.
-    "dedup_clusters" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val edges = a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
-        .filter(col("shared").cast("double") /
-          (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
-        .select("doc_a", "doc_b")
-      connectedComponents(edges).orderBy("doc_id")
+    "dedup_clusters" -> ((s, dir) =>
+      connectedComponents(neardupEdges(s, dir)).orderBy("doc_id")),
+
+    // The decision a dedup pipeline actually ships: one row per corpus
+    // document with its cluster and a keep/drop verdict (keep = the
+    // cluster's min doc_id; singletons keep themselves). Candidates →
+    // verify → cluster → keep-list, end to end.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val clusters = connectedComponents(neardupEdges(s, dir))
+      Tables.documents(s, dir).select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
     }),
 
     // Same result as dedup_ngram_jaccard, via the 100 TB candidate path:
@@ -386,7 +415,7 @@ object Dedup {
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      val sigs = minhashSignature(sh)
+      val sigs = stagedMinhashSigs(s, dir)
       val bands = lshBands(sigs)
       val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -428,17 +457,17 @@ object Dedup {
 
     // Per-doc 32-bit simhash fingerprint.
     "dedup_simhash" -> ((s, dir) =>
-      simhash32(Tables.documents(s, dir)).orderBy("doc_id")),
+      stagedSimhash(s, dir).orderBy("doc_id")),
 
     // Banded simhash near-dup pairs: split the 32-bit fingerprint into
     // 4 byte-blocks; by pigeonhole any pair with hamming distance <= 3
     // agrees on at least one whole block, so an equi-join on
     // (block index, block value) finds all such pairs without an
     // all-pairs scan. Exact integer arithmetic end-to-end (bit_count of
-    // xor) — byte-identical across engines. At scale the fingerprint
-    // table would be persisted once rather than recomputed per branch.
+    // xor) — byte-identical across engines. The fingerprint table is
+    // staged once (stagedSimhash) since three plan branches reference it.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val fp = simhash32(Tables.documents(s, dir))
+      val fp = stagedSimhash(s, dir)
       val bands = fp.select(col("doc_id"),
           explode(array((0 until 4).map(b => struct(lit(b).as("b"),
             shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
@@ -566,6 +595,31 @@ object Dedup {
          |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.doc)
          |SELECT doc AS doc_id, min(root) AS cluster_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_canonical" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, root) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.doc),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT d.doc_id,
+         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,

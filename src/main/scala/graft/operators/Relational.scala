@@ -159,6 +159,31 @@ object Relational {
         .limit(20)
     }),
 
+    // TPC-H Q2-style: the cheapest observed supplier per Brand#12 part
+    // (min unit price from lineitems; no partsupp in this schema).
+    // Window arg-min with a deterministic tiebreak instead of a
+    // correlated min subquery — one shuffle on partkey, dims broadcast.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val unit = (col("l_extendedprice") / col("l_quantity")).as("unit_price")
+      val w = Window.partitionBy("p_partkey").orderBy(col("unit_price"), col("l_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#12")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"), unit)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        // raw double quotient, NOT rounded: one IEEE division is
+        // bit-identical in both engines, while round() on a quotient
+        // that terminates exactly at 7 decimals (quantity = 32 does)
+        // hits the HALF_UP-vs-nearbyint .xx5 divergence
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("unit_price"))
+        .orderBy("p_partkey")
+    }),
+
     // TPC-H Q4-style: orders with any lineitem shipped 60+ days after
     // the order date, counted by priority. EXISTS as a LEFT SEMI join —
     // equi key + date residual, one shuffle, no row multiplication.
@@ -789,6 +814,20 @@ object Relational {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name < n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH priced AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |         l_extendedprice / l_quantity AS unit_price,
+        |         row_number() OVER (PARTITION BY p_partkey
+        |           ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12')
+        |SELECT p_partkey, p_name, s_name, n_name, unit_price
+        |FROM priced
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
 
     "q4_priority_late" ->
       """SELECT o_orderpriority, count(*) AS order_count
