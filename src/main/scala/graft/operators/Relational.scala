@@ -271,16 +271,19 @@ object Relational {
     // whole fact, no nested loop.
     "q21_slowest_supplier" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      // ">= 2 distinct" ≡ min != max and "exactly 1 distinct" ≡ min = max:
+      // min/max are single-pass primitive aggregates where countDistinct
+      // plans an Expand + second shuffle
       val perOrder = li.groupBy("l_orderkey")
         .agg(max(col("l_shipdate")).as("max_ship"),
-          countDistinct(col("l_suppkey")).as("n_supp"))
-        .filter(col("n_supp") >= 2)
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .filter(col("s_min") =!= col("s_max"))
         .select(col("l_orderkey").as("ok"), col("max_ship"))
       val soleLatest = li
         .join(perOrder, col("l_orderkey") === col("ok") && col("l_shipdate") === col("max_ship"))
         .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_latest"), max(col("l_suppkey")).as("the_supp"))
-        .filter(col("n_latest") === 1)
+        .agg(min(col("l_suppkey")).as("lmin"), max(col("l_suppkey")).as("the_supp"))
+        .filter(col("lmin") === col("the_supp"))
       soleLatest
         .groupBy(col("the_supp").as("s_suppkey"))
         .agg(count(lit(1)).as("numwait"))
