@@ -605,6 +605,19 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // Approximate percentiles (no oracle — approximation is Spark's own
+    // GK sketch): the fixed-memory scale twin of agg_percentiles, the
+    // form a 100 TB latency/price distribution question actually runs.
+    "agg_approx_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 2).as("p50"),
+          round(element_at(col("pcts"), 2), 2).as("p95"))
+        .orderBy("l_returnflag")),
+
     // --- set ops ---------------------------------------------------------
     // INTERSECT: buyers who are also high-balance customers.
     "set_intersect" -> ((s, dir) => {

@@ -54,6 +54,19 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Watermarked SESSION windows per user — merge-as-you-go gap windows
+    * in streaming mode: a session finalizes (and its state evicts) once
+    * the watermark passes its close + gap. The batch twin is
+    * EventTime's events_session; the spec asserts emitted sessions
+    * match it exactly. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming arm of the dedup suite
     * (graft.operators.Dedup covers batch). State is bounded by the

@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= batch.size - 3, s"too few windows: ${got.size} vs ${batch.size}")
   }
 
+  test("streaming session windows: every finalized session matches batch") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-sess-in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val got = Streams.runToCompletion(spark,
+      Streams.sessionCounts(streamed), "session_stream", mode = "append")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("ss"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = EventTime.queries("events_session")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start")) ->
+        r.getAs[Long]("n_events")).toMap
+
+    assert(got.nonEmpty, "no sessions emitted")
+    for ((k, v) <- got)
+      assert(batch.get(k).contains(v), s"session $k: stream $v vs batch ${batch.get(k)}")
+    // each user's final (watermark-tail) session may be withheld, nothing else
+    assert(got.size >= batch.size / 2, s"too few sessions: ${got.size} vs ${batch.size}")
+  }
+
   test("flatMapGroupsWithState sessionizer ≡ declarative session_window query") {
     val stateful = SparkEntry.queries("sessionize_stateful")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
