@@ -104,7 +104,15 @@ object Dedup {
     * stop-shingle bucket only to discard them, an adversarial-corpus
     * cliff this path does not have. */
   def jaccardBySets(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sets = sh.groupBy("doc_id")
+    // build shingle sets ONLY for docs that appear in a candidate pair —
+    // post-LSH/prefix that is a small fraction of the corpus, and the
+    // left-semi prunes the collect_set input before the per-doc arrays
+    // ever materialize
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("shset"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
@@ -176,11 +184,16 @@ object Dedup {
     // canonical order) rides along for the positional filter.
     val ranks = shingleRanks(sh)
     val docW = Window.partitionBy("doc_id").orderBy("rank")
+    // the candidate self-join only needs EQUALITY of shingles, so the
+    // prefix index carries the 60-bit hash as join key: long-vs-long
+    // hash joins beat string joins, and a (vanishingly rare) collision
+    // merely admits one spurious candidate for exact verification to
+    // discard — it can never lose a pair
     sh.join(ranks, Seq("shingle"))
       .withColumn("rn", row_number().over(docW))
       .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rn") <= col("c") - ceil(lit(t) * col("c")) + 1)
-      .select("doc_id", "shingle", "c", "rn")
+      .select(col("doc_id"), hash60(col("shingle")).as("shkey"), col("c"), col("rn"))
   }
 
   /** Self-join a prefix index (doc_id, shingle, c, rn) into ordered
@@ -203,9 +216,9 @@ object Dedup {
     * extra candidates through, and exact verification removes those. */
   def pairsSharing(idx: DataFrame, t: Double): DataFrame = {
     val alpha = ceil(lit(t / (1 + t) - 1e-9) * (col("ca") + col("cb")))
-    idx.select(col("doc_id").as("doc_a"), col("shingle"), col("c").as("ca"), col("rn").as("rna"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("shingle"), col("c").as("cb"), col("rn").as("rnb")),
-        Seq("shingle"))
+    idx.select(col("doc_id").as("doc_a"), col("shkey"), col("c").as("ca"), col("rn").as("rna"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shkey"), col("c").as("cb"), col("rn").as("rnb")),
+        Seq("shkey"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("cb") >= ceil(lit(t) * col("ca")) &&
         col("ca") >= ceil(lit(t) * col("cb")))
@@ -217,8 +230,12 @@ object Dedup {
     pairsSharing(prefixes(sh, t), t)
 
   /** Exact near-dup pair graph (J >= 0.5) from the staged inverted
-    * index — the edge input to cluster resolution. */
-  private def neardupEdges(s: SparkSession, dir: String): DataFrame = {
+    * index — the edge input to cluster resolution. Staged itself: both
+    * the cluster query and the keep-list query consume it. */
+  private def neardupEdges(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|edges")(buildNeardupEdges(s, dir))
+
+  private def buildNeardupEdges(s: SparkSession, dir: String): DataFrame = {
     val sh = stagedShingles(s, dir)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
