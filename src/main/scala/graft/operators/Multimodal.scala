@@ -64,7 +64,32 @@ object Multimodal {
     }),
 
     "multimodal_meta_mp" -> ((s, dir) =>
-      decodeMeta(Tables.documents(s, dir)).toDF().orderBy("doc_id"))
+      decodeMeta(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
+    // Frame sampling — the video-pipeline shape: chop each blob into
+    // fixed 256-byte frames, keep every 4th, fingerprint each kept
+    // frame. Runs over the hex encoding so the per-frame slice +
+    // fingerprint is pure engine-portable column algebra (a real
+    // pipeline would hand the sliced bytes to a codec UDF at exactly
+    // this point). explode(sequence) fans out rows — never a
+    // driver-side loop — and everything before the final sort is a
+    // narrow per-row pass.
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val frameBytes = 256
+      val hexPerFrame = frameBytes * 2
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("h"))
+        .withColumn("n_frames",
+          ceil(length(col("h")).cast("double") / hexPerFrame).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("h"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          md5(expr(s"substring(h, frame_idx * $hexPerFrame + 1, $hexPerFrame)"))
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    })
   )
 
   // first_byte = raw first UTF-8 byte via hex digits (DuckDB has no
@@ -81,6 +106,19 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "multimodal_meta" -> metaSql,
-    "multimodal_meta_mp" -> metaSql
+    "multimodal_meta_mp" -> metaSql,
+    "multimodal_frame_sample" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         CAST(ceil(CAST(length(hex(encode(text))) AS DOUBLE) / 512) AS INT) AS n_frames
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, h, n_frames,
+        |         CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+        |  FROM hx WHERE n_frames > 0)
+        |SELECT doc_id, frame_idx, n_frames,
+        |       md5(substr(h, frame_idx * 512 + 1, 512)) AS frame_md5
+        |FROM frames WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
