@@ -105,6 +105,61 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The first BPE merge-training round: corpus-wide adjacent character
+    // pair counts (the statistic each merge step of byte-pair-encoding
+    // tokenizer training maximizes). One narrow explode pass + one hash
+    // aggregate; top-50 by count with a deterministic tiebreak.
+    "text_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(explode(sequence(lit(1), length(col("text")) - 1)).as("i"), col("text"))
+        .select(expr("substring(text, i, 2)").as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(50)),
+
+    // Benchmark decontamination: training docs sharing 3-gram shingles
+    // with a deterministic "eval" subset (doc_id % 97 == 0) — the
+    // n-gram-overlap contamination check every pretraining pipeline
+    // runs against its eval suites. Inverted-index semi-join, never
+    // doc × eval cross product; ≥ 5 shared shingles flags the doc.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val sh = graft.operators.Dedup.stagedShingles(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(evalSh, Seq("shingle"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("flagged", col("n_shared") >= 5)
+        .orderBy("doc_id")
+    }),
+
+    // PII pre-scan: pattern hit counts per doc (emails, long digit runs)
+    // — the cheap first pass before a redaction rewrite. Conservative
+    // regex subset that Java and RE2 interpret identically.
+    "text_pii_scan" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0))").as("n_emails"),
+          expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))").as("n_digit_runs"))
+        .withColumn("has_pii", col("n_emails") + col("n_digit_runs") > 0)
+        .orderBy("doc_id")),
+
+    // Repetition stats (Gopher-style quality rule): sentence count,
+    // distinct sentences, and the most-repeated sentence's multiplicity.
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\. ", -1)).as("sent"))
+        .groupBy("doc_id", "sent")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("n_sentences"),
+          count(lit(1)).as("n_distinct"),
+          max(col("k")).as("max_repeat"))
+        .orderBy("doc_id")),
+
     // Top-3 characteristic terms per doc by a TF-IDF-style weight. The
     // weight is the exact rational tf * N / df (not tf*log(N/df)):
     // integer inputs through IEEE ops give bit-identical doubles in
@@ -175,6 +230,36 @@ object TextAnalysis {
          |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
          |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0))) > 0.5 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """SELECT substr(text, i, 2) AS pair, count(*) AS cnt
+        |FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+        |WHERE length(text) >= 2 AND i <= length(text) - 1
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""WITH ${graft.operators.Dedup.shingleCte},
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT sh.doc_id, count(*) AS n_shared, count(*) >= 5 AS flagged
+         |FROM sh JOIN ev ON sh.shingle = ev.shingle
+         |WHERE sh.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scan" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS n_emails,
+        |       len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+        |       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+        |         + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH sents AS (
+        |  SELECT doc_id, unnest(string_split(text, '. ')) AS sent FROM documents),
+        |per AS (SELECT doc_id, sent, count(*) AS k FROM sents GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_sentences,
+        |       count(*) AS n_distinct, max(k) AS max_repeat
+        |FROM per GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH terms AS (

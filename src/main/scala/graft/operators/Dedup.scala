@@ -542,7 +542,7 @@ object Dedup {
 
   // --- oracle SQL (generated to stay in lockstep with the Scala) -------
 
-  private val shingleCte =
+  private[graft] val shingleCte =
     """sh AS (
       |  SELECT DISTINCT doc_id,
       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
