@@ -104,6 +104,10 @@ object Dedup {
     * stop-shingle bucket only to discard them, an adversarial-corpus
     * cliff this path does not have. */
   def jaccardBySets(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // cand is referenced twice below (doc pruning + the pair join); the
+    // identical subtrees share work through Spark's ReusedExchange —
+    // measured FASTER than forcing one materialization with
+    // localCheckpoint, which adds a job and breaks exchange reuse
     // build shingle sets ONLY for docs that appear in a candidate pair —
     // post-LSH/prefix that is a small fraction of the corpus, and the
     // left-semi prunes the collect_set input before the per-doc arrays
