@@ -60,10 +60,16 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // This host is a VM with intermittent hypervisor CPU steal; when the
+    // two passes disagree badly the min itself is suspect, so buy one
+    // more sample. (A spike lasting all three passes still inflates the
+    // number — judge a run against its peers, not in isolation.)
     val results = names.map { n =>
       val (t1, ok1) = timeOnce(n)
       val (t2, ok2) = timeOnce(n)
-      (n, math.min(t1, t2), ok1 && ok2)
+      val unstable = math.max(t1, t2) > 2 * math.min(t1, t2) && math.min(t1, t2) > 0.5
+      val (t3, ok3) = if (unstable) timeOnce(n) else (Double.MaxValue, true)
+      (n, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
     }
     val errors = results.collect { case (n, _, false) => n }
     // 3-decimal times keep the whole line well under the driver's output
