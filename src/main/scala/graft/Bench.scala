@@ -73,8 +73,11 @@ object Bench {
     }
     val errors = results.collect { case (n, _, false) => n }
     // 3-decimal times keep the whole line well under the driver's output
-    // tail window; sub-millisecond precision is noise anyway
-    def fmt(v: Double): String = f"$v%.3f"
+    // tail window; sub-millisecond precision is noise anyway. Locale.ROOT:
+    // the f-interpolator uses the JVM default locale, and a comma-decimal
+    // locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum

@@ -112,7 +112,10 @@ object TextAnalysis {
     "text_bpe_pairs" -> ((s, dir) =>
       Tables.documents(s, dir)
         .filter(length(col("text")) >= 2)
-        .select(explode(sequence(lit(1), length(col("text")) - 1)).as("i"), col("text"))
+        // bounded to the first 8 KiB per doc, matching the oracle's
+        // generate_series cap — and bounding per-row fan-out at scale
+        .select(explode(sequence(lit(1),
+          least(length(col("text")) - 1, lit(8192)))).as("i"), col("text"))
         .select(expr("substring(text, i, 2)").as("pair"))
         .groupBy("pair")
         .agg(count(lit(1)).as("cnt"))
@@ -234,7 +237,7 @@ object TextAnalysis {
     "text_bpe_pairs" ->
       """SELECT substr(text, i, 2) AS pair, count(*) AS cnt
         |FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
-        |WHERE length(text) >= 2 AND i <= length(text) - 1
+        |WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     "dedup_decontaminate" ->

@@ -65,8 +65,10 @@ object AsOf {
       .withColumn("_last", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .filter(col("_last").isNotNull) // inner as-of
+      // getField, not col("_last.name"): a right column whose NAME
+      // contains a dot would otherwise parse as a deeper field path
       .select((left.columns.map(col) ++
-        rightCols.map(c => col(s"_last.$c").as(c))): _*)
+        rightCols.map(c => col("_last").getField(c).as(c))): _*)
   }
 
   /** Same contract as [[asOfJoin]], executed by the native

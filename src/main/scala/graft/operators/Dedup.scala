@@ -233,14 +233,12 @@ object Dedup {
   def prefixCandidates(sh: DataFrame, t: Double): DataFrame =
     pairsSharing(prefixes(sh, t), t)
 
-  /** Exact near-dup pair graph (J >= 0.5) from the staged inverted
-    * index — the edge input to cluster resolution. Staged itself: both
-    * the cluster query and the keep-list query consume it. */
-  private def neardupEdges(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|edges")(buildNeardupEdges(s, dir))
-
-  private def buildNeardupEdges(s: SparkSession, dir: String): DataFrame = {
-    val sh = stagedShingles(s, dir)
+  /** (doc_a, doc_b, shared, ca, cb) for every unordered doc pair sharing
+    * at least one shingle — the inverted-index self-join + shared-count
+    * aggregate that Jaccard, containment, and edge building all start
+    * from (one definition; a pair-generation fix must not need three
+    * synchronized edits). */
+  private def sharedCounts(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -249,10 +247,17 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
-      .filter(col("shared").cast("double") /
-        (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
-      .select("doc_a", "doc_b")
   }
+
+  /** Exact near-dup pair graph (J >= 0.5) from the staged inverted
+    * index — the edge input to cluster resolution. Staged itself: both
+    * the cluster query and the keep-list query consume it. */
+  private def neardupEdges(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|edges")(
+      sharedCounts(stagedShingles(s, dir))
+        .filter(col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
+        .select("doc_a", "doc_b"))
 
   /** Connected components over an undirected edge list (doc_a, doc_b) by
     * iterative min-label propagation: every node starts labeled with its
@@ -367,22 +372,13 @@ object Dedup {
     // (drop stop-shingles) before the self-join to bound the pair
     // blowup on vocabulary-limited corpora; verify survivors on the
     // full sets (as dedup_minhash_lsh's candidate/verify split does).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      sharedCounts(stagedShingles(s, dir))
         .select(col("doc_a"), col("doc_b"),
           round(col("shared").cast("double") /
             (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
@@ -457,22 +453,18 @@ object Dedup {
     // directions at once; each unordered pair then emits up to two
     // ordered (src contained-in dst) rows.
     "dedup_containment" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val shared = a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-        .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      val shared = sharedCounts(stagedShingles(s, dir))
       val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
         (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
       val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
         (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+      // containment stays the RAW quotient: one IEEE division is
+      // bit-identical across engines, while round() on a small-integer
+      // ratio that lands exactly on .xxxxxx5 (e.g. 103/128) splits
+      // HALF_UP vs nearbyint
       fwd.union(rev)
         .filter(col("containment") >= 0.8)
-        .select(col("src_doc"), col("dst_doc"), round(col("containment"), 6).as("containment"))
+        .select(col("src_doc"), col("dst_doc"), col("containment"))
         .orderBy("src_doc", "dst_doc")
     }),
 
@@ -680,7 +672,7 @@ object Dedup {
          |         CAST(shared AS DOUBLE) / ca AS containment FROM joined
          |  UNION ALL
          |  SELECT doc_b, doc_a, CAST(shared AS DOUBLE) / cb FROM joined)
-         |SELECT src_doc, dst_doc, round(containment, 6) AS containment
+         |SELECT src_doc, dst_doc, containment
          |FROM dirs WHERE containment >= 0.8
          |ORDER BY src_doc, dst_doc""".stripMargin,
 

@@ -19,10 +19,8 @@ import graft.core.Tables
   */
 object EventTime {
 
-  /** Decimal-rounded sum — see Relational.rsum2 for why rounding happens
-    * before the double cast. */
-  private def rsum2(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+  /** Decimal-rounded sum — single definition in [[graft.functions.Decimals]]. */
+  private def rsum2(c: Column): Column = graft.functions.Decimals.rsum2(c)
   private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,16 +21,9 @@ import graft.core.Tables
   */
 object Relational {
 
-  /** Exact cross-engine sum via DECIMAL(18,4) — see SparkEntry.dsum. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
-
-  /** Sum rounded to 2 places ON THE DECIMAL, then cast to double: both
-    * engines round decimals HALF_UP exactly, whereas rounding the
-    * double-cast sum hits .xx5 representation boundaries where Spark
-    * (BigDecimal HALF_UP) and DuckDB (scaled nearbyint) disagree.
-    * DuckDB twin: CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE). */
-  private def rsum2(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+  /** Cross-engine exact sums — single definitions in [[graft.functions.Decimals]]. */
+  private def dsum(c: Column): Column = graft.functions.Decimals.dsum(c)
+  private def rsum2(c: Column): Column = graft.functions.Decimals.rsum2(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.core.Tables
 import graft.functions.PortableHash
 
@@ -23,7 +21,7 @@ object Sampling {
     pmod(PortableHash.hash60(key.cast("string")), lit(100L))
 
   private def rsum2(c: org.apache.spark.sql.Column) =
-    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+    graft.functions.Decimals.rsum2(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -44,6 +44,10 @@ def main(outdir, sfdir):
         # the driver's hash compare is value-repr sensitive: an int64 vs
         # float64 column (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float)
         # hash-mismatches even when values are numerically equal
+        if set(got.columns) != set(exp.columns):
+            print(f"COLUMNS  {name}: spark {sorted(got.columns)} duckdb {sorted(exp.columns)}")
+            n_bad += 1
+            continue
         dtype_warn = [c for c in got.columns
                       if (got[c].dtype.kind in "if") != (exp[c].dtype.kind in "if")
                       or (got[c].dtype.kind == "i") != (exp[c].dtype.kind == "i")]
