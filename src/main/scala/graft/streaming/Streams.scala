@@ -111,6 +111,19 @@ object Streams {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Stream-static join: enrich a stream with a batch dimension table.
+    * The static side is planned per micro-batch (broadcast when small),
+    * needs no watermark, and holds no join state — the streaming
+    * analogue of every star-schema enrichment. Aggregation downstream
+    * keys on the dimension attribute. */
+  def enrichedCounts(stream: DataFrame, dim: DataFrame,
+                     streamKey: String, dimKey: String, dimAttr: String): DataFrame =
+    stream
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col(streamKey) === col(dimKey))
+      .groupBy(dimAttr)
+      .agg(count(lit(1)).as("n"))
+
   /** Synthetic generator spout: the built-in rate source emits
     * monotonically increasing (timestamp, value) rows at rowsPerSecond,
     * pre-partitioned across numPartitions — the load-generator analogue

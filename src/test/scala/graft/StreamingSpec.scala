@@ -87,6 +87,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= batch.size - 3, s"too few windows: ${got.size} vs ${batch.size}")
   }
 
+  test("stream-static broadcast enrichment ≡ batch join") {
+    val events = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-enrich-in")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streamed = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val got = Streams.runToCompletion(spark,
+      Streams.enrichedCounts(streamed, dim, "user_id", "c_custkey", "c_mktsegment"),
+      "enrich_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session windows: every finalized session matches batch") {
     val batchEvents = Tables.events(spark, sf0001)
     val dir = Files.createTempDirectory("graft-sess-in")
