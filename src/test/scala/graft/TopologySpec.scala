@@ -34,6 +34,49 @@ class TopologySpec extends SparkSpec {
     assert(streamed === direct)
   }
 
+  test("topology with versioned top-k sink: one version per batch, resume picks up new data") {
+    import graft.sources.VersionedStore
+    val in = Files.createTempDirectory("graft-topk-in")
+    Files.writeString(in.resolve("a.txt"), "b b b a a c\n")
+    Files.writeString(in.resolve("b.txt"), "a a d d e\n")
+    val base = Files.createTempDirectory("graft-topk-store").toString
+    val cp = Files.createTempDirectory("graft-topk-cp").toString
+
+    // Crane's "final result dump", upgraded: complete-mode aggregation
+    // state → per-trigger top-5 → one immutable store version per
+    // micro-batch, exactly-once via checkpoint + idempotent versions.
+    def runOnce(): Unit = {
+      val counts = Parity.wordCount(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(in.toString))
+      val q = counts.writeStream.outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          VersionedStore.writeBatch(
+            batch.orderBy(desc("cnt"), col("word")).limit(5), base, id): Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val versions1 = VersionedStore.listVersions(base)
+    assert(versions1.size === 2, s"one version per micro-batch, got $versions1")
+
+    def topOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+    // a third file lands; resume from the same checkpoint processes ONLY it
+    Files.writeString(in.resolve("c.txt"), "e e e e\n")
+    runOnce()
+    val versions2 = VersionedStore.listVersions(base)
+    assert(versions2.size === 3, s"resume adds exactly one version, got $versions2")
+
+    val want = topOf(Parity.wordCount(spark.read.text(in.toString))
+      .orderBy(desc("cnt"), col("word")).limit(5))
+    assert(topOf(VersionedStore.readLatest(spark, base)
+      .orderBy(desc("cnt"), col("word"))) === want)
+  }
+
   test("streaming dedup drops watermark-horizon duplicates") {
     val ev = Tables.events(spark, sf0001)
     val dir = Files.createTempDirectory("graft-dedup-in").toString
