@@ -159,6 +159,52 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // Product quantization + asymmetric-distance search — the
+    // billion-vector compression scheme: 64 dims → 8 subspaces × 8 dims,
+    // each subvector coded as its nearest of 16 deterministic centroids
+    // (the sub-slices of vec_id 32..47, standing in for trained k-means
+    // so the oracle can replay it) — 8 bytes per vector, 32× smaller
+    // than float32. A query never decompresses the corpus: it computes
+    // an 8×16 distance table once, and each corpus vector's distance is
+    // 8 table lookups summed. Determinism by construction: per-subspace
+    // L2 goes through aggregate(zip_with(...)) (sequential, bit-equal
+    // to DuckDB's list_sum), and table entries are floor-quantized to
+    // integer micro-units so the final sums are order-independent.
+    "ann_pq_adc" -> ((s, dir) => {
+      val Subs = 8; val SubDim = 8; val CentBase = 32; val NCents = 16
+      val emb = Tables.embeddings(s, dir)
+      val sub = emb.select(col("vec_id"),
+          explode(sequence(lit(0), lit(Subs - 1))).as("sub"), col("embedding"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("embedding"), col("sub") * SubDim + 1, lit(SubDim)).as("sarr"))
+      val cents = sub
+        .filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + NCents)
+        .select((col("vec_id") - CentBase).as("cent_id"), col("sub"), col("sarr").as("carr"))
+      val d2 = aggregate(
+        zip_with(col("sarr"), col("carr"),
+          (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+        lit(0.0d), (acc, v) => acc + v)
+      val dists = sub.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cent_id"), d2.as("d2"))
+      val wc = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cent_id"))
+      val codes = dists
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cent_id"))
+      val qtab = dists.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("sub"), col("cent_id"),
+          floor(col("d2") * 1e6).cast("long").as("d_int"))
+      val wr = Window.partitionBy("query_id").orderBy(col("adc_int"), col("vec_id"))
+      codes.join(broadcast(qtab), Seq("sub", "cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("d_int")).as("adc_int"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adc_int"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Bucket histogram — the data profile an IVF/LSH planner needs.
     "ann_bucket_histogram" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -216,6 +262,40 @@ object Similarity {
     "ann_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann_pq_adc" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, s.sub, embedding[s.sub*8+1 : s.sub*8+8] AS sarr
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |cents AS (
+         |  SELECT vec_id - 32 AS cent_id, sub, sarr AS carr
+         |  FROM sub WHERE vec_id >= 32 AND vec_id < 48),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, c.cent_id,
+         |         list_sum(list_transform(list_zip(v.sarr, c.carr),
+         |           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+         |  FROM sub v JOIN cents c USING (sub)),
+         |codes AS (
+         |  SELECT vec_id, sub, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2, cent_id) AS rn FROM dists)
+         |  WHERE rn = 1),
+         |qtab AS (
+         |  SELECT vec_id AS query_id, sub, cent_id,
+         |         CAST(floor(d2 * 1e6) AS BIGINT) AS d_int
+         |  FROM dists WHERE vec_id < $QuerySetSize),
+         |adc AS (
+         |  SELECT q.query_id, c.vec_id, CAST(sum(q.d_int) AS BIGINT) AS adc_int
+         |  FROM codes c JOIN qtab q ON c.sub = q.sub AND c.cent_id = q.cent_id
+         |  WHERE c.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc_int,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc_int, vec_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, vec_id, adc_int
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     "ann_sq8_topk" ->
       s"""WITH ex AS (
