@@ -693,6 +693,16 @@ object Relational {
           array_contains(col("keys"), col("o_orderkey")).as("has_orderkey"))
         .orderBy("o_orderkey")),
 
+    // Outer generator: explode_outer keeps rows whose generated array is
+    // empty (as a null element) — the LEFT JOIN LATERAL shape. Open
+    // orders fan out to two tags; everything else survives with null.
+    "generators_outer" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          explode_outer(when(col("o_orderstatus") === "O",
+            array(lit("open"), lit("active"))).otherwise(array())).as("tag"))
+        .orderBy("o_orderkey", "tag")),
+
     // JSON extraction from the events.props string column.
     "json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1121,6 +1131,14 @@ object Relational {
         |       o_custkey AS custkey_from_array,
         |       true AS has_orderkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "generators_outer" ->
+      """SELECT o_orderkey, unnest(['open', 'active']) AS tag
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS tag
+        |FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O'
+        |ORDER BY o_orderkey, tag""".stripMargin,
 
     "json_props" ->
       """SELECT event_type, count(*) AS n,
