@@ -118,10 +118,11 @@ object Streams {
     * keys on the dimension attribute. */
   def enrichedCounts(stream: DataFrame, dim: DataFrame,
                      streamKey: String, dimKey: String, dimAttr: String): DataFrame =
+    // frame-qualified key columns: bare col(...) is AMBIGUOUS_REFERENCE
+    // when both sides share the key name (the natural-key case)
     stream
-      .join(org.apache.spark.sql.functions.broadcast(dim),
-        col(streamKey) === col(dimKey))
-      .groupBy(dimAttr)
+      .join(broadcast(dim), stream(streamKey) === dim(dimKey))
+      .groupBy(dim(dimAttr))
       .agg(count(lit(1)).as("n"))
 
   /** Synthetic generator spout: the built-in rate source emits
