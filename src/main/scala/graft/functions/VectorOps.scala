@@ -26,8 +26,14 @@ object VectorOps {
     * deterministic, engine-portable; at scale it turns an all-pairs
     * similarity scan into per-bucket work.
     */
-  def signBucket(a: Column, bits: Int): Column =
+  def signBucket(a: Column, bits: Int): Column = signBucketAt(a, 0, bits)
+
+  /** Sign bucket over dimensions [offset+1, offset+bits] — one BAND of a
+    * banded LSH scheme: b independent bands of r bits each give recall
+    * 1-(1-p^r)^b per pair (p = per-hyperplane agreement probability),
+    * the same OR-of-ANDs amplification as MinHash banding. */
+  def signBucketAt(a: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { j =>
-      when(element_at(a, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(a, offset + j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -73,29 +73,35 @@ object Dedup {
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-  /** Exact Jaccard for candidate pairs via inverted-index counting: one
-    * self-join on the shingle, semi-filtered to the candidates, then a
-    * shared-count aggregate. Right when candidates are MANY (e.g. the
-    * df-capped all-pairs path): shared counts for every co-occurring
-    * pair come out of one shuffle, no per-pair array materialization.
-    * Worst case is O(Σ df²) pair generation — for the few-candidate
-    * regime use [[jaccardBySets]] instead. Duplicate candidate rows are
-    * fine (left-semi), so callers need not dedup. */
-  def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+  /** (doc_a, doc_b, shared, ca, cb) restricted to candidate pairs, via
+    * inverted-index counting: one self-join on the shingle, semi-filtered
+    * to the candidates, then a shared-count aggregate. Right when
+    * candidates are MANY (e.g. the df-capped all-pairs path): shared
+    * counts for every co-occurring pair come out of one shuffle, no
+    * per-pair array materialization. Worst case is O(Σ df²) pair
+    * generation — for the few-candidate regime use [[jaccardBySets]]
+    * instead. Duplicate candidate rows are fine (left-semi), so callers
+    * need not dedup. Full sets are counted — the candidate set prunes
+    * which pairs are scored, never the score itself. */
+  def sharedCountsFor(cand: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
       .join(counts.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+  }
+
+  /** Exact Jaccard for candidate pairs — [[sharedCountsFor]] reduced to
+    * the symmetric score. */
+  def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame =
+    sharedCountsFor(cand, sh)
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
-  }
 
   /** Exact Jaccard for candidate pairs by per-doc shingle-set
     * intersection: O(|candidates| × doc length), independent of shingle
@@ -238,7 +244,7 @@ object Dedup {
     * aggregate that Jaccard, containment, and edge building all start
     * from (one definition; a pair-generation fix must not need three
     * synchronized edits). */
-  private def sharedCounts(sh: DataFrame): DataFrame = {
+  private[graft] def sharedCounts(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -367,18 +373,24 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("fingerprint")),
 
-    // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5).
-    // Scale lever not needed at test SF: cap shingle document frequency
-    // (drop stop-shingles) before the self-join to bound the pair
-    // blowup on vocabulary-limited corpora; verify survivors on the
-    // full sets (as dedup_minhash_lsh's candidate/verify split does).
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      sharedCounts(stagedShingles(s, dir))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("shared").cast("double") /
-            (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
+    // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5),
+    // SHIPPED via the df-capped candidate path: stop-shingles (document
+    // frequency > 64) are dropped before the self-join — a df-f bucket
+    // emits O(f²) pairs, so one boilerplate sentence shared by most of
+    // a 100 TB corpus would otherwise make a df≈N bucket → N² pairs in
+    // one task — then survivors are scored on their FULL shingle sets.
+    // A true near-dup pair (J ≥ 0.5) shares many shingles and is
+    // recovered as long as any one of them is rare; LlmOpsSpec asserts
+    // pair-for-pair equality with the uncapped formulation
+    // (sharedCounts) and the DuckDB oracle recomputes the uncapped
+    // reference at sf0.01.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      jaccardFor(cappedCandidates(sh, maxDf = 64), sh)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
@@ -452,8 +464,16 @@ object Dedup {
     // inverted-index self-join produces the shared counts for both
     // directions at once; each unordered pair then emits up to two
     // ordered (src contained-in dst) rows.
+    // Shipped via the same df-capped candidate generation as
+    // dedup_ngram_jaccard (the uncapped inverted-index self-join has
+    // the identical O(Σ df²) cliff); scores still come from FULL
+    // shingle sets. A containment ≥ 0.8 pair shares ≥ 80% of the
+    // smaller doc's shingles, so it survives the cap whenever any one
+    // of those is rare — LlmOpsSpec asserts equality with the
+    // uncapped formulation and the oracle recomputes it uncapped.
     "dedup_containment" -> ((s, dir) => {
-      val shared = sharedCounts(stagedShingles(s, dir))
+      val sh = stagedShingles(s, dir)
+      val shared = sharedCountsFor(cappedCandidates(sh, maxDf = 64), sh)
       val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
         (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
       val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),

@@ -28,7 +28,10 @@ object Graph {
 
   /** Nation-level trade graph: edge src → dst weighted by the number of
     * lineitems a supplier in `src` shipped to a customer in `dst`.
-    * Dimension joins broadcast; the only fact shuffle is
+    * Nation lookups broadcast (25 rows, bounded); supplier/customer
+    * GROW with scale factor, so their joins carry no forced hint — the
+    * threshold/AQE broadcast them while they fit and fall back to a
+    * key shuffle when they don't. The only unavoidable fact shuffle is
     * lineitem ⋈ orders on the order key. Self-loops dropped. */
   def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(s, dir)
@@ -38,9 +41,9 @@ object Graph {
     Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))

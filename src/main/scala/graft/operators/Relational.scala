@@ -13,8 +13,13 @@ import graft.core.Tables
   * Catalyst plans pushdown, partial aggregation, and join strategy.
   *
   * Scale notes (100 TB posture):
-  *  - dimension sides (region/nation/supplier/part/customer at TPC-H
-  *    ratios) get explicit broadcast() hints → no shuffle of the fact;
+  *  - only GENUINELY BOUNDED sides carry an explicit broadcast() hint:
+  *    nation (25 rows), region (5), and scalar (grouping-free)
+  *    aggregates. customer/supplier/part GROW with scale factor — at
+  *    sf ≈ 100 000 customer is 15 B rows, and a forced hint overrides
+  *    autoBroadcastJoinThreshold unconditionally and kills the job —
+  *    so those joins are left unhinted and the threshold + AQE pick
+  *    broadcast when (and only when) the build side actually fits;
   *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once;
   *    AQE handles skew;
   *  - every aggregate is a map-side-combined hash agg; no collect().
@@ -94,25 +99,29 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")),
 
     // --- joins -----------------------------------------------------------
-    // Star join with explicit broadcast of the dimension: the 100 TB plan
-    // is fact-scan + BroadcastHashJoin, zero fact shuffle before the agg.
+    // Star join where the dimension side is broadcast BY THE PLANNER
+    // (threshold/AQE), not by a forced hint: part grows with sf, so the
+    // 100 TB plan must be allowed to fall back to a shuffle join when
+    // the build side no longer fits executor memory.
     "join_broadcast_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")),
 
-    // TPC-H Q3-style: customer(bcast) ⋈ orders ⋈ lineitem, top 10 orders
-    // by revenue. orders⋈lineitem shuffles on orderkey (both huge at scale).
+    // TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, top 10 orders by
+    // revenue. orders⋈lineitem shuffles on orderkey (both huge at scale);
+    // customer scales with sf too, so no forced hint — AQE broadcasts it
+    // while it fits and shuffles it when it doesn't.
     "q3_top_orders" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, dir)
       val li = Tables.lineitem(s, dir)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"),
@@ -121,8 +130,9 @@ object Relational {
         .limit(10)
     }),
 
-    // TPC-H Q5-style 6-way star join: region→nation broadcast down the
-    // chain; only orders⋈lineitem is a real shuffle at scale.
+    // TPC-H Q5-style 6-way star join: only nation⋈region (bounded) is
+    // hinted; customer/supplier joins are threshold/AQE-decided, and
+    // orders⋈lineitem is the one unavoidable fact shuffle at scale.
     "q5_region_revenue" -> ((s, dir) => {
       val dims = Tables.nation(s, dir)
         .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
@@ -130,8 +140,8 @@ object Relational {
       val sup = Tables.supplier(s, dir)
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
@@ -140,11 +150,12 @@ object Relational {
     }),
 
     // TPC-H Q10-style: revenue lost to returned items per customer.
-    // Fact-fact join shuffles once on orderkey; customer+nation broadcast.
+    // Fact-fact join shuffles once on orderkey; nation is hinted
+    // (bounded), customer is planner-decided (grows with sf).
     "q10_returned_revenue" -> ((s, dir) => {
       Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -155,18 +166,19 @@ object Relational {
     // TPC-H Q2-style: the cheapest observed supplier per Brand#12 part
     // (min unit price from lineitems; no partsupp in this schema).
     // Window arg-min with a deterministic tiebreak instead of a
-    // correlated min subquery — one shuffle on partkey, dims broadcast.
+    // correlated min subquery — one shuffle on partkey; part/supplier
+    // joins planner-decided (both scale with sf), nation hinted.
     "q2_min_cost_supplier" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val unit = (col("l_extendedprice") / col("l_quantity")).as("unit_price")
       val w = Window.partitionBy("p_partkey").orderBy(col("unit_price"), col("l_suppkey"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#12")),
+        .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#12"),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("l_suppkey"), unit)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         // raw double quotient, NOT rounded: one IEEE division is
         // bit-identical in both engines, while round() on a quotient
@@ -198,16 +210,18 @@ object Relational {
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("c_nk"))
+      // suppNation/customer scale with sf → no forced hint on either;
+      // asiaNations is nation⋈region (≤25 rows), hinted.
       val suppNation = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(round(
           dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) /
@@ -240,7 +254,7 @@ object Relational {
         .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
       rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
         .filter(col("total_revenue") === col("mx"))
-        .join(broadcast(Tables.supplier(s, dir)), col("supplier_no") === col("s_suppkey"))
+        .join(Tables.supplier(s, dir), col("supplier_no") === col("s_suppkey"))
         .select(col("supplier_no"), col("s_name"), col("total_revenue"))
         .orderBy("supplier_no")
     }),
@@ -250,7 +264,7 @@ object Relational {
     // observed lineitems (no partsupp table in this schema).
     "q16_part_supplier_variety" -> ((s, dir) => {
       val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
-      ps.join(broadcast(Tables.part(s, dir).filter(col("p_type") =!= "PROMO")),
+      ps.join(Tables.part(s, dir).filter(col("p_type") =!= "PROMO"),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -280,7 +294,7 @@ object Relational {
       soleLatest
         .groupBy(col("the_supp").as("s_suppkey"))
         .agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), "s_suppkey")
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"), "s_suppkey")
         .select(col("s_name"), col("numwait"))
         .orderBy(desc("numwait"), col("s_name"))
         .limit(20)
@@ -315,8 +329,9 @@ object Relational {
     }),
 
     // TPC-H Q7-style: shipping revenue between a supplier nation and a
-    // customer nation, by ship year. Both nation lookups broadcast; the
-    // only real shuffles are lineitem⋈orders and the final group-by.
+    // customer nation, by ship year. Both nation lookups broadcast
+    // (bounded); supplier/customer joins planner-decided; the only
+    // unavoidable shuffles are lineitem⋈orders and the final group-by.
     "q7_nation_trade" -> ((s, dir) => {
       val n1 = Tables.nation(s, dir)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -324,8 +339,8 @@ object Relational {
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") < col("cust_nation"))
@@ -359,7 +374,7 @@ object Relational {
         .groupBy(col("l_partkey").as("ap_key"))
         .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")),
+        .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#23"),
           col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("ap_key"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
@@ -386,11 +401,11 @@ object Relational {
     }),
 
     // TPC-H Q14-style: promo revenue share — conditional aggregation
-    // over a broadcast dimension join; single scalar out.
+    // over a planner-decided dimension join; single scalar out.
     "q14_promo_revenue" -> ((s, dir) => {
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) *
           dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           dsum(rev), 6).as("promo_revenue_pct"))
@@ -402,7 +417,7 @@ object Relational {
     // split.
     "q19_disjunctive_revenue" -> ((s, dir) => {
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 15)) ||

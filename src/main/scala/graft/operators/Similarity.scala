@@ -20,6 +20,28 @@ object Similarity {
   private val TopK = 10
   private val QuerySetSize = 5 // vec_id < 5 are the query vectors
   private val BucketBits = 8
+  // banded near-dup LSH: 8 bands × 8 sign bits tile the 64 dims
+  private val NeardupBands = 8
+  private val NeardupBandBits = 8
+
+  /** Exact all-pairs near-dup — the cartesian formulation the banded
+    * emb_neardup_cosine approximates. Spec-only (SimilaritySpec recall
+    * cross-check at sf0.001): a registered cartesian product would be
+    * benched, and cannot run at corpus scale. */
+  private[graft] def allPairsNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** Attach the L2 norm once per row (codegen'd dot with itself) so pair
     * joins never recompute it. */
@@ -73,22 +95,38 @@ object Similarity {
     }),
 
     // Embedding near-duplicate pairs above a cosine threshold (0.4 —
-    // calibrated to this corpus; raise for real dedup). All-pairs here;
-    // the LSH bucket join is the 100 TB formulation.
+    // calibrated to this corpus; raise for real dedup), via BANDED
+    // sign-LSH: 8 bands of 8 hyperplane signs tile all 64 dims, a pair
+    // is a candidate iff it agrees on EVERY sign of at least one band
+    // (equi-join per band — never an all-pairs scan), and candidates
+    // are verified with the exact cosine on the full vectors. The
+    // all-pairs crossJoin twin lives ONLY in SimilaritySpec as the
+    // recall reference; registering it would bench a cartesian product
+    // that cannot run at corpus scale. The oracle replays this exact
+    // banded formulation, so the entry is hash-checked, not rows-only.
     "emb_neardup_cosine" -> ((s, dir) => {
       val emb = withNorm(Tables.embeddings(s, dir))
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-        col("nrm").as("na"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-        col("nrm").as("nb"))
-      a.crossJoin(b)
+      val bandVals = array((0 until NeardupBands).map(b =>
+        VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
+      val bx = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+      val cand = bx.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
+        .join(bx.select(col("vec_id").as("vec_b"), col("band"), col("bval")),
+          Seq("band", "bval"))
         .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+          col("nrm").as("na")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+          col("nrm").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
         .filter(col("score") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
     }),
+
+
 
     // IVF-style ANN: 16 fixed seed vectors act as coarse centroids; every
     // vector is assigned to its nearest centroid (one broadcast pass),
@@ -224,6 +262,13 @@ object Similarity {
     .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
     .mkString(" + ")
 
+  // band value for band index `band` (a column in scope): sign bits of
+  // dims band*8+1 .. band*8+8 — the SQL twin of VectorOps.signBucketAt
+  private val neardupBandSql = (0 until NeardupBandBits)
+    .map(j => s"CASE WHEN embedding[band * $NeardupBandBits + ${j + 1}] > 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+    .mkString(" + ")
+
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
       s"""WITH scored AS (
@@ -253,9 +298,17 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     "emb_neardup_cosine" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH bx AS (
+         |  SELECT vec_id, b.band, $neardupBandSql AS bval
+         |  FROM embeddings, (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bval = b.bval
+         |         AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
          |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS score
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM cand JOIN embeddings a ON vec_a = a.vec_id
+         |          JOIN embeddings b ON vec_b = b.vec_id
          |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 

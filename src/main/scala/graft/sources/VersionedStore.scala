@@ -76,4 +76,47 @@ object VersionedStore {
     vs.map(v => readVersion(spark, base, v).withColumn("_version", lit(v)))
       .reduce(_ unionByName _)
   }
+
+  /** Remove one version — the `delete` verb of the reference DFS client
+    * (`dfs/dfs_client.py:146-157`). The directory is RENAMED to a
+    * tombstone first (atomic on a real filesystem), then reclaimed:
+    * a concurrent reader listing versions either sees the complete
+    * `v=<N>` directory or none — never a half-deleted snapshot that a
+    * parquet scan would fail on. Returns false if the version did not
+    * exist (idempotent, like re-deleting an sdfs name). */
+  def deleteVersion(base: String, version: Long): Boolean = {
+    val dir = Paths.get(base, s"v=$version")
+    if (!Files.isDirectory(dir)) false
+    else {
+      // nanoTime nonce: a crashed earlier delete leaves its tombstone
+      // behind without blocking this one
+      val tomb = Paths.get(base, s".deleting-v$version-${System.nanoTime()}")
+      Files.move(dir, tomb) // atomic dir rename: readers see all-or-nothing
+      reclaim(tomb)
+      true
+    }
+  }
+
+  /** Delete every version — the reference's whole-file delete. */
+  def delete(base: String): Int =
+    listVersions(base).count(deleteVersion(base, _))
+
+  /** Retention: drop all but the newest `keep` versions — the reference
+    * server retains/serves at most 5 (`dfs/dfs_server.py:318-346`,
+    * counter capped at 5), but keeps older bytes forever; a streaming
+    * sink calling [[writeBatch]] every trigger needs this or snapshot
+    * growth is unbounded. Versions are listed ONCE and deleted oldest
+    * first, so a concurrent writer appending new versions can never
+    * cause more than `keep` survivors from this call's snapshot to go. */
+  def prune(base: String, keep: Int = 5): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val doomed = listVersions(base).dropRight(keep)
+    doomed.filter(deleteVersion(base, _))
+  }
+
+  /** Best-effort recursive reclaim of a tombstoned directory. */
+  private def reclaim(root: java.nio.file.Path): Unit = {
+    val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder()).iterator()
+    while (it.hasNext) Files.deleteIfExists(it.next())
+  }
 }

@@ -112,16 +112,18 @@ object Streams {
   }
 
   /** Stream-static join: enrich a stream with a batch dimension table.
-    * The static side is planned per micro-batch (broadcast when small),
-    * needs no watermark, and holds no join state — the streaming
-    * analogue of every star-schema enrichment. Aggregation downstream
-    * keys on the dimension attribute. */
+    * The static side is re-planned per micro-batch — the planner
+    * broadcasts it while it fits autoBroadcastJoinThreshold and falls
+    * back to a shuffle join when it doesn't, so callers may pass
+    * sf-scaling dimensions (customer) without a forced hint killing
+    * the job at scale. Needs no watermark and holds no join state —
+    * the streaming analogue of every star-schema enrichment. */
   def enrichedCounts(stream: DataFrame, dim: DataFrame,
                      streamKey: String, dimKey: String, dimAttr: String): DataFrame =
     // frame-qualified key columns: bare col(...) is AMBIGUOUS_REFERENCE
     // when both sides share the key name (the natural-key case)
     stream
-      .join(broadcast(dim), stream(streamKey) === dim(dimKey))
+      .join(dim, stream(streamKey) === dim(dimKey))
       .groupBy(dim(dimAttr))
       .agg(count(lit(1)).as("n"))
 

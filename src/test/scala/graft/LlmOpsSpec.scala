@@ -29,10 +29,38 @@ class LlmOpsSpec extends SparkSpec {
     })
   }
 
+  // The registered queries ship the df-capped candidate path (the
+  // uncapped inverted-index self-join is the 100 TB scale cliff), so
+  // the uncapped formulations live only here, as the reference the
+  // shipped queries must reproduce pair-for-pair.
+  private def uncappedJaccard = {
+    val sh = Dedup.stagedShingles(spark, sf0001)
+    Dedup.sharedCounts(sh)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   test("df-capped candidate generation reports the same pairs as uncapped") {
-    val uncapped = run("dedup_ngram_jaccard").collect()
+    val uncapped = uncappedJaccard.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val capped = run("dedup_ngram_jaccard_capped").collect()
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_capped")) {
+      val capped = run(q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(capped === uncapped, s"$q diverges from the uncapped reference")
+    }
+  }
+
+  test("df-capped containment reports the same pairs as uncapped") {
+    val shared = Dedup.sharedCounts(Dedup.stagedShingles(spark, sf0001))
+    val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+      (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
+    val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+      (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+    val uncapped = fwd.union(rev).filter(col("containment") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run("dedup_containment").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped === uncapped)
   }
@@ -50,7 +78,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("prefix-filtered candidates (lossless) report the same pairs as uncapped") {
-    val uncapped = run("dedup_ngram_jaccard").collect()
+    val uncapped = uncappedJaccard.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val prefix = run("dedup_ngram_jaccard_prefix").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -87,6 +115,24 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("jaccard") >= 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("banded near-dup LSH: subset of exact all-pairs, identical scores") {
+    val exact = Similarity.allPairsNeardup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = run("emb_neardup_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded.nonEmpty, "banded LSH found no near-dup pairs")
+    // candidates are verified on the full vectors, so every reported
+    // pair must appear in the exact result WITH the exact score
+    banded.foreach { case (pair, score) =>
+      assert(exact.get(pair).contains(score), s"$pair score mismatch vs exact")
+    }
+    // this corpus's pairs sit barely above the 0.4 threshold (tail of a
+    // random-similarity distribution, worst case for any LSH family);
+    // per-band agreement p ≈ 0.63 ⇒ expected recall ≈ 1-(1-p^8)^8 ≈ 0.2
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.05, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {

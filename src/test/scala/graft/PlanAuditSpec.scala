@@ -17,8 +17,51 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("star joins broadcast their dimension sides") {
+    // no forced hints on these dims (they scale with sf) — at test scale
+    // the THRESHOLD must still pick a broadcast join on its own
     for (q <- Seq("join_broadcast_agg", "q3_top_orders", "q5_region_revenue"))
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lacks broadcast join")
+  }
+
+  test("broadcast hints only on bounded sides (nation/region/scalar aggregates)") {
+    // A forced broadcast() overrides autoBroadcastJoinThreshold
+    // unconditionally: hinting an sf-scaling table (customer is 150k
+    // rows PER scale factor) plans a job that dies at sf≈100000. Every
+    // registered query's hints must be provably bounded: leaf tables
+    // ⊆ {nation, region} or a grouping-free (scalar) aggregate. The
+    // bounded-by-construction similarity sides (constant vec_id
+    // predicates / fixed centroid sets over embeddings) are checked
+    // structurally: a filter on the key must sit between hint and scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val bounded = Set("nation", "region")
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val leafTables = h.child.collectLeaves().flatMap {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+              case _ => Nil
+            }
+            case _ => Nil
+          }.toSet
+          // an Aggregate bounds the hinted side by its grouping domain —
+          // every grouped hint in-repo groups on embedding geometry
+          // (dim / sub / cent_id: fixed by the model, not by sf) and the
+          // scalar ones have no grouping at all
+          val agg = h.child.exists { case _: Aggregate => true; case _ => false }
+          val filtered = h.child.exists { case _: Filter => true; case _ => false }
+          val ok = leafTables.subsetOf(bounded) || agg ||
+            (filtered && leafTables.subsetOf(Set("embeddings")))
+          assert(ok, s"$name forces a broadcast hint on sf-scaling " +
+            s"table(s) ${leafTables.intersect(scaling)} with no bounding reduction")
+        case _ => ()
+      }
+    }
   }
 
   test("aggregations run partial+final hash aggregation") {
@@ -28,11 +71,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no cartesian product outside the intended all-pairs queries") {
-    for (name <- SparkEntry.queries.keys
-         if name != "emb_neardup_cosine" && name != "ann_cosine_topk") {
+    // emb_neardup_cosine is NOT exempt: the registered query is the
+    // banded-LSH pair join; only the spec-only allPairsNeardup twin may
+    // go cartesian
+    for (name <- SparkEntry.queries.keys if name != "ann_cosine_topk") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
+  }
+
+  test("banded near-dup join is equi on (band, value) — no nested loop") {
+    val p = plan("emb_neardup_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("similarity pair-joins use broadcast nested loop only on the tiny query side") {

@@ -31,6 +31,47 @@ class VersionedStoreSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("deleteVersion removes exactly one snapshot; idempotent on misses") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vdel").toString
+    (1 to 4).foreach(i => VersionedStore.write(Seq(i).toDF("x"), base))
+
+    assert(VersionedStore.deleteVersion(base, 2))
+    assert(VersionedStore.listVersions(base) === Seq(1, 3, 4))
+    // remaining snapshots untouched; latest unchanged
+    assert(VersionedStore.readVersion(spark, base, 3).as[Int].collect().toSeq === Seq(3))
+    assert(VersionedStore.readLatest(spark, base).as[Int].collect().toSeq === Seq(4))
+    // re-delete and never-existed: false, no error (reference client
+    // semantics: deleting an absent sdfs name is a no-op)
+    assert(!VersionedStore.deleteVersion(base, 2))
+    assert(!VersionedStore.deleteVersion(base, 99))
+    // no tombstone directories linger after reclaim
+    val leftovers = new java.io.File(base).list().filter(_.startsWith(".deleting"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("prune retains the newest keep=5 versions (reference retention)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vprune").toString
+    (1 to 8).foreach(i => VersionedStore.write(Seq(i).toDF("x"), base))
+
+    assert(VersionedStore.prune(base) === Seq(1, 2, 3)) // default keep=5
+    assert(VersionedStore.listVersions(base) === Seq(4, 5, 6, 7, 8))
+    // post-prune reads: latest and the ≤5-version union still work
+    assert(VersionedStore.readLatest(spark, base).as[Int].collect().toSeq === Seq(8))
+    val vs = VersionedStore.readVersions(spark, base)
+    assert(vs.select("_version").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(4L, 5L, 6L, 7L, 8L))
+    // idempotent when already within retention
+    assert(VersionedStore.prune(base) === Seq.empty)
+    // prune to 1 leaves only the latest
+    assert(VersionedStore.prune(base, keep = 1) === Seq(4, 5, 6, 7))
+    assert(VersionedStore.listVersions(base) === Seq(8))
+    // whole-file delete empties the store
+    assert(VersionedStore.delete(base) === 1)
+    assert(VersionedStore.listVersions(base) === Seq.empty)
+  }
+
   test("foreachBatch versioned sink: one version per batch, exactly-once on rerun") {
     val in = Files.createTempDirectory("graft-vsink-in")
     Files.writeString(in.resolve("a.txt"), "alpha\nbeta\n")
