@@ -80,7 +80,7 @@ case class DotProductInt(left: Expression, right: Expression)
 
 object DotProductInt {
   def apply(a: Column, b: Column): Column =
-    ColumnBridge.column(DotProductInt(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+    ColumnBridge.column(DotProductInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Codegen'd asymmetric-distance lookup-sum — the scoring kernel of PQ
@@ -161,5 +161,5 @@ case class CodeLookupSum(left: Expression, right: Expression)
 
 object CodeLookupSum {
   def apply(codes: Column, table: Column): Column =
-    ColumnBridge.column(CodeLookupSum(ColumnBridge.expr(codes), ColumnBridge.expr(table)))
+    ColumnBridge.column(CodeLookupSum(ColumnBridge.expression(codes), ColumnBridge.expression(table)))
 }

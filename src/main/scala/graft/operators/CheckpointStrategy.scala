@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** How an iterative operator cuts its lineage between rounds.
+  *
+  * Iterative plans (connected components, power iteration) double in
+  * size every round unless the chain is cut, so each round must
+  * materialize — the question is where the blocks live:
+  *
+  *  - [[CheckpointStrategy.Local]]: `localCheckpoint()` — blocks stay in
+  *    executor storage, NON-replicated. Fastest, right default for
+  *    local[*] and short loops, but on a real cluster an executor loss
+  *    mid-loop loses blocks that have no lineage to recompute from, and
+  *    the job dies.
+  *  - [[CheckpointStrategy.Reliable]]: `checkpoint()` into a
+  *    fault-tolerant directory (HDFS/S3) — each round's state survives
+  *    executor loss; the cluster-grade choice for long iterative jobs at
+  *    100 TB, at the cost of a write+read of the round's state.
+  */
+sealed trait CheckpointStrategy {
+  def cut(df: DataFrame): DataFrame
+}
+
+object CheckpointStrategy {
+
+  case object Local extends CheckpointStrategy {
+    override def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  final case class Reliable(dir: String) extends CheckpointStrategy {
+    override def cut(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      // idempotent: only (re)set when it differs, so two operators
+      // sharing a dir don't churn the session-global setting
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
+  }
+}

@@ -271,29 +271,32 @@ object Dedup {
     * neighbors' labels; fixpoint = each node labeled with the smallest
     * id in its component. Rounds needed ≤ graph diameter — duplicate
     * clusters are shallow, so this converges in a handful of rounds.
-    * localCheckpoint() per round cuts the lineage (the classic iterative-
-    * algorithm trap: an uncut plan doubles per iteration). This is the
+    * Each round cuts its lineage via the [[CheckpointStrategy]] (the
+    * classic iterative-algorithm trap: an uncut plan doubles per
+    * iteration) — Local for single-node runs; Reliable(dir) on a real
+    * cluster, where localCheckpoint's non-replicated blocks would die
+    * with a lost executor mid-loop and kill the job. This is the
     * cluster-resolution step a dedup pipeline needs between near-dup
     * PAIR detection and choosing one canonical doc per duplicate group.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-      .localCheckpoint()
+  def connectedComponents(edges: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val sym = ckpt.cut(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt.cut(
+      sym.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc")))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym
         .join(labels.select(col("doc").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("dst_label")).as("nbr_min"))
-      val next = labels
+      val next = ckpt.cut(labels
         .join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       changed = next
         .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
         .filter(col("label") =!= col("old_label"))
@@ -382,8 +385,8 @@ object Dedup {
     // A true near-dup pair (J ≥ 0.5) shares many shingles and is
     // recovered as long as any one of them is rare; LlmOpsSpec asserts
     // pair-for-pair equality with the uncapped formulation
-    // (sharedCounts) and the DuckDB oracle recomputes the uncapped
-    // reference at sf0.01.
+    // (sharedCounts), and the DuckDB oracle replays the SAME df-capped
+    // candidate generation so the gate checks the shipped semantics.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
       jaccardFor(cappedCandidates(sh, maxDf = 64), sh)
@@ -469,8 +472,8 @@ object Dedup {
     // the identical O(Σ df²) cliff); scores still come from FULL
     // shingle sets. A containment ≥ 0.8 pair shares ≥ 80% of the
     // smaller doc's shingles, so it survives the cap whenever any one
-    // of those is rare — LlmOpsSpec asserts equality with the
-    // uncapped formulation and the oracle recomputes it uncapped.
+    // of those is rare — LlmOpsSpec asserts equality with the uncapped
+    // formulation, and the oracle replays the same capped candidates.
     "dedup_containment" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
       val shared = sharedCountsFor(cappedCandidates(sh, maxDf = 64), sh)
@@ -585,10 +588,38 @@ object Dedup {
     .map(i => s"CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
     .mkString(" + ")
 
+  /** Uncapped exact-Jaccard oracle — the reference formulation. Used for
+    * the LOSSLESS prefix path only; the df-capped queries replay the cap
+    * in their own oracle (below) so the gate checks what actually ships:
+    * a pair whose every shared shingle has df > 64 would be dropped by
+    * Spark yet present in an uncapped oracle. */
+  private val uncappedJaccardOracle: String =
+    s"""WITH $shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
+       |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of [[cappedCandidates]]: candidate pairs must share at
+    * least one shingle with document frequency <= 64; scores still come
+    * from FULL shingle sets (the cap prunes generation, not the score). */
+  private val cappedCandSql: String =
+    """rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin
+
   def oracles: Map[String, String] =
     baseOracles +
       ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard")) +
-      ("dedup_ngram_jaccard_prefix" -> baseOracles("dedup_ngram_jaccard"))
+      ("dedup_ngram_jaccard_prefix" -> uncappedJaccardOracle)
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -598,10 +629,12 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
+         |$cappedCandSql,
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
@@ -679,10 +712,12 @@ object Dedup {
 
     "dedup_containment" ->
       s"""WITH $shingleCte,
+         |$cappedCandSql,
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
          |  GROUP BY 1, 2),
          |joined AS (
          |  SELECT doc_a, doc_b, shared, ca.c AS ca, cb.c AS cb

@@ -20,9 +20,12 @@ import graft.core.Tables
   * order-independent — the same trick real systems use when they
   * quantize PageRank to fixed-point for determinism).
   *
-  * localCheckpoint() per round cuts lineage — the classic iterative-job
-  * trap where the logical plan doubles per iteration until the driver
-  * chokes on analysis, long before data size matters.
+  * Each round cuts its lineage via a [[CheckpointStrategy]] — the
+  * classic iterative-job trap is a plan that doubles per iteration until
+  * the driver chokes on analysis, long before data size matters. Local
+  * (localCheckpoint) is the single-node default; Reliable(dir) writes
+  * round state to fault-tolerant storage so an executor loss mid-loop
+  * doesn't kill a 100 TB job.
   */
 object Graph {
 
@@ -57,19 +60,19 @@ object Graph {
     * flows into them), mirroring the unrolled SQL. Long arithmetic
     * overflows past ~sf1 at 3 iterations (max rank ≈ (Σw)³); production
     * would renormalize per round, which would leave integers. */
-  def powerIterate(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint()
-    var ranks = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .withColumn("r", lit(1L))
-      .localCheckpoint()
+  def powerIterate(edges: DataFrame, iters: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val e = ckpt.cut(edges)
+    var ranks = ckpt.cut(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .withColumn("r", lit(1L)))
     for (_ <- 1 to iters) {
-      ranks = e
+      ranks = ckpt.cut(e
         .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("r_src")).as("r"))
-        .localCheckpoint()
+        .agg(sum(col("w") * col("r_src")).as("r")))
     }
     ranks
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{DotProductFloat, VectorOps}
+import graft.functions.{CodeLookupSum, DotProductFloat, DotProductInt, VectorOps}
 
 /** Similarity search over the embeddings table.
   *
@@ -25,7 +25,7 @@ object Similarity {
   private val NeardupBandBits = 8
 
   /** Exact all-pairs near-dup — the cartesian formulation the banded
-    * emb_neardup_cosine approximates. Spec-only (SimilaritySpec recall
+    * emb_neardup_lsh approximates. Spec-only (SimilaritySpec recall
     * cross-check at sf0.001): a registered cartesian product would be
     * benched, and cannot run at corpus scale. */
   private[graft] def allPairsNeardup(s: SparkSession, dir: String): DataFrame = {
@@ -94,17 +94,28 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding near-duplicate pairs above a cosine threshold (0.4 —
-    // calibrated to this corpus; raise for real dedup), via BANDED
-    // sign-LSH: 8 bands of 8 hyperplane signs tile all 64 dims, a pair
-    // is a candidate iff it agrees on EVERY sign of at least one band
-    // (equi-join per band — never an all-pairs scan), and candidates
-    // are verified with the exact cosine on the full vectors. The
-    // all-pairs crossJoin twin lives ONLY in SimilaritySpec as the
-    // recall reference; registering it would bench a cartesian product
-    // that cannot run at corpus scale. The oracle replays this exact
-    // banded formulation, so the entry is hash-checked, not rows-only.
-    "emb_neardup_cosine" -> ((s, dir) => {
+    // APPROXIMATE embedding near-duplicate pairs above a cosine
+    // threshold (0.4 — calibrated to this corpus; raise for real
+    // dedup), via BANDED sign-LSH: 8 bands of 8 hyperplane signs tile
+    // all 64 dims, a pair is a candidate iff it agrees on EVERY sign of
+    // at least one band (equi-join per band — never an all-pairs scan),
+    // and candidates are verified with the exact cosine on the full
+    // vectors.
+    //
+    // RECALL CONTRACT (hence the _lsh name): precision is 1.0 — every
+    // reported pair truly has cosine >= 0.4, scored exactly — but
+    // recall is that of the LSH family: per-sign agreement for a
+    // cosine-0.4 pair is p = 1 - acos(0.4)/pi ~ 0.63, so expected
+    // recall ~ 1-(1-p^8)^8 ~ 0.2 at the threshold, rising steeply with
+    // similarity (~0.9 at cosine 0.8). At a 0.4 threshold no LSH
+    // configuration is both high-recall and sub-quadratic (narrower
+    // bands admit a constant fraction of ALL pairs as candidates); a
+    // caller needing exhaustive pairs at low thresholds needs the
+    // all-pairs scan, which lives spec-only (allPairsNeardup) because
+    // a registered cartesian product cannot run at corpus scale. The
+    // oracle replays this exact banded formulation, so the entry is
+    // hash-checked, not rows-only.
+    "emb_neardup_lsh" -> ((s, dir) => {
       val emb = withNorm(Tables.embeddings(s, dir))
       val bandVals = array((0 until NeardupBands).map(b =>
         VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
@@ -164,31 +175,51 @@ object Similarity {
     }),
 
     // SQ8 scalar-quantized search: each dimension is linearly quantized
-    // to an 8-bit code against its corpus-wide [min, max] (one tiny
-    // broadcast stats table), and ranking uses the symmetric INTEGER
-    // dot product of zero-centered codes — the int8-SIMD trick
-    // production vector stores use, which shrinks a float32 corpus 4×
-    // so far more of it fits executor memory. Integer scores are exact
-    // and summation-order independent, so the exploded join+agg
-    // formulation (codes ⋈ broadcast query codes on dim, then one hash
-    // aggregate) is deterministic at any parallelism.
+    // to an 8-bit code against its corpus-wide [min, max] (one scalar
+    // broadcast stats row holding the per-dim min/max ARRAYS), and
+    // ranking uses the symmetric INTEGER dot product of zero-centered
+    // codes — the int8-SIMD trick production vector stores use, which
+    // shrinks a float32 corpus 4× so far more of it fits executor
+    // memory. ARRAY-NATIVE: the corpus stays one row per vector with an
+    // ARRAY<INT> code column, and scoring is the codegen'd DotProductInt
+    // — no 64× posexplode row inflation, no per-dim join, no hash
+    // aggregate in the hot path (the explode survives only in the tiny
+    // stats build, whose output is one row). Integer scores are exact
+    // and summation-order independent, so results are deterministic at
+    // any parallelism and the exploded DuckDB oracle replays them
+    // bit-for-bit.
     "ann_sq8_topk" -> ((s, dir) => {
-      val ex = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-      val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-      val codes = ex.join(broadcast(stats), "dim")
-        .select(col("vec_id"), col("dim"),
-          when(col("mx") === col("mn"), lit(0L))
-            .otherwise(least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 256.0),
-              lit(255.0)).cast("long"))
-            .as("code"))
+      val emb = Tables.embeddings(s, dir)
+      // per-dim [min, max] as two 64-element arrays in ONE row: explode
+      // → per-dim agg → re-assemble in dim order (array_sort on
+      // (dim, v) structs sorts by dim first)
+      val stats = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("dim"), col("xf").cast("double").as("x"))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+            s => s.getField("mn")).as("mns"),
+          transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+            s => s.getField("mx")).as("mxs"))
+      // zero-centered int8 code per dimension, computed in-place over
+      // the embedding array (identical arithmetic to the exploded
+      // formulation: double math, floor, clamp at 255, then -128)
+      val codes = emb.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            (when(mx === mn, lit(0L))
+              .otherwise(least(floor((x.cast("double") - mn) / (mx - mn) * 256.0),
+                lit(255.0)).cast("long")) - 128L).cast("int")
+          }).as("codes"))
       val q = codes.filter(col("vec_id") < QuerySetSize)
-        .select(col("vec_id").as("query_id"), col("dim"), col("code").as("qcode"))
-      val scored = codes.join(broadcast(q), Seq("dim"))
+        .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+      val scored = codes.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum((col("code") - 128) * (col("qcode") - 128)).as("score_int"))
+        .select(col("query_id"), col("vec_id"),
+          DotProductInt(col("codes"), col("qcodes")).as("score_int"))
       val w = Window.partitionBy("query_id").orderBy(desc("score_int"), col("vec_id"))
       scored
         .withColumn("rank", row_number().over(w))
@@ -224,19 +255,35 @@ object Similarity {
         lit(0.0d), (acc, v) => acc + v)
       val dists = sub.join(broadcast(cents), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("cent_id"), d2.as("d2"))
-      val wc = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cent_id"))
+      // ARRAY-NATIVE compressed corpus: one row per vector carrying its
+      // 8 centroid ids as ARRAY<INT> (8 bytes of payload standing in
+      // for the 256-byte float vector). Argmin per (vec, sub) is a
+      // lexicographic struct-min — same (d2, cent_id) tie-break as a
+      // window rank, without the window's extra sort.
       val codes = dists
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cent_id"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.cent_id").as("cent_id")))),
+          s => s.getField("cent_id").cast("int")).as("codes"))
+      // per-query 8×16 distance table (subspace-major nested array):
+      // scoring a corpus vector is then 8 array lookups summed inside
+      // the codegen'd CodeLookupSum — the corpus is never decompressed,
+      // never exploded, never joined per-subspace.
       val qtab = dists.filter(col("vec_id") < QuerySetSize)
         .select(col("vec_id").as("query_id"), col("sub"), col("cent_id"),
           floor(col("d2") * 1e6).cast("long").as("d_int"))
+        .groupBy("query_id", "sub")
+        .agg(transform(array_sort(collect_list(struct(col("cent_id"), col("d_int")))),
+          s => s.getField("d_int")).as("row16"))
+        .groupBy("query_id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("row16")))),
+          s => s.getField("row16")).as("dtab"))
       val wr = Window.partitionBy("query_id").orderBy(col("adc_int"), col("vec_id"))
-      codes.join(broadcast(qtab), Seq("sub", "cent_id"))
+      codes.crossJoin(broadcast(qtab))
         .filter(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum(col("d_int")).as("adc_int"))
+        .select(col("query_id"), col("vec_id"),
+          CodeLookupSum(col("codes"), col("dtab")).as("adc_int"))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("rank"), col("vec_id"), col("adc_int"))
@@ -297,7 +344,7 @@ object Similarity {
          |SELECT query_id, rank, vec_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
-    "emb_neardup_cosine" ->
+    "emb_neardup_lsh" ->
       s"""WITH bx AS (
          |  SELECT vec_id, b.band, $neardupBandSql AS bval
          |  FROM embeddings, (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),

@@ -21,16 +21,19 @@ object VersionedStore {
     val p = Paths.get(base)
     if (!Files.isDirectory(p)) Seq.empty
     else {
-      val it = Files.list(p).iterator()
-      val out = Seq.newBuilder[(Long, String)]
-      while (it.hasNext) {
-        val d = it.next()
-        val name = d.getFileName.toString
-        if (name.startsWith("v=") && Files.isDirectory(d))
-          scala.util.Try(name.drop(2).toLong).toOption
-            .foreach(v => out += v -> d.toString)
-      }
-      out.result().sortBy(_._1)
+      val stream = Files.list(p) // must close: holds a directory handle
+      try {
+        val it = stream.iterator()
+        val out = Seq.newBuilder[(Long, String)]
+        while (it.hasNext) {
+          val d = it.next()
+          val name = d.getFileName.toString
+          if (name.startsWith("v=") && Files.isDirectory(d))
+            scala.util.Try(name.drop(2).toLong).toOption
+              .foreach(v => out += v -> d.toString)
+        }
+        out.result().sortBy(_._1)
+      } finally stream.close()
     }
   }
 
@@ -91,7 +94,14 @@ object VersionedStore {
       // nanoTime nonce: a crashed earlier delete leaves its tombstone
       // behind without blocking this one
       val tomb = Paths.get(base, s".deleting-v$version-${System.nanoTime()}")
-      Files.move(dir, tomb) // atomic dir rename: readers see all-or-nothing
+      try {
+        Files.move(dir, tomb) // atomic dir rename: readers see all-or-nothing
+      } catch {
+        // a concurrent delete won the rename between our isDirectory
+        // check and the move — the version is gone, which is exactly
+        // the idempotent "did not exist" outcome this method promises
+        case _: java.nio.file.NoSuchFileException => return false
+      }
       reclaim(tomb)
       true
     }
@@ -114,9 +124,14 @@ object VersionedStore {
     doomed.filter(deleteVersion(base, _))
   }
 
-  /** Best-effort recursive reclaim of a tombstoned directory. */
+  /** Best-effort recursive reclaim of a tombstoned directory. Files.walk
+    * holds directory handles open until closed — the stream must be
+    * closed explicitly or every delete leaks one. */
   private def reclaim(root: java.nio.file.Path): Unit = {
-    val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder()).iterator()
-    while (it.hasNext) Files.deleteIfExists(it.next())
+    val stream = Files.walk(root)
+    try {
+      val it = stream.sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    } finally stream.close()
   }
 }

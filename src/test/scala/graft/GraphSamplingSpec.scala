@@ -30,6 +30,29 @@ class GraphSamplingSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("reliable checkpointing: iterative ops agree with localCheckpoint runs") {
+    // cluster-grade variant: round state written to a fault-tolerant dir
+    // (survives executor loss, unlike localCheckpoint's non-replicated
+    // blocks) must not change any result
+    import graft.operators.CheckpointStrategy
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = CheckpointStrategy.Reliable(dir)
+
+    val edges = Graph.tradeEdges(spark, sf0001)
+    val local = Graph.powerIterate(edges, 3).orderBy("node").collect()
+    val ckpt = Graph.powerIterate(edges, 3, reliable).orderBy("node").collect()
+    assert(local.toSeq === ckpt.toSeq)
+
+    import spark.implicits._
+    val pairEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ccLocal = Dedup.connectedComponents(pairEdges).orderBy("doc_id").collect()
+    val ccCkpt = Dedup.connectedComponents(pairEdges, reliable).orderBy("doc_id").collect()
+    assert(ccLocal.toSeq === ccCkpt.toSeq)
+    // the reliable run actually materialized round state on disk
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, s"no checkpoint data under $dir")
+  }
+
   test("hash split is deterministic, complete, and roughly 80/10/10") {
     val splits = Sampling.queries("sample_hash_split")(spark, sf001)
       .groupBy("split").agg(sum("n").as("n")).collect()

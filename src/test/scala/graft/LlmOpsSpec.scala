@@ -120,7 +120,7 @@ class LlmOpsSpec extends SparkSpec {
   test("banded near-dup LSH: subset of exact all-pairs, identical scores") {
     val exact = Similarity.allPairsNeardup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val banded = run("emb_neardup_cosine").collect()
+    val banded = run("emb_neardup_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(banded.nonEmpty, "banded LSH found no near-dup pairs")
     // candidates are verified on the full vectors, so every reported
@@ -131,8 +131,11 @@ class LlmOpsSpec extends SparkSpec {
     // this corpus's pairs sit barely above the 0.4 threshold (tail of a
     // random-similarity distribution, worst case for any LSH family);
     // per-band agreement p ≈ 0.63 ⇒ expected recall ≈ 1-(1-p^8)^8 ≈ 0.2
+    // — the documented recall contract of emb_neardup_lsh; the floor
+    // sits at half the expectation to absorb corpus-draw variance while
+    // still catching a banding bug (which collapses recall to ~0)
     val recall = banded.size.toDouble / exact.size
-    assert(recall >= 0.05, s"recall $recall collapsed (${banded.size}/${exact.size})")
+    assert(recall >= 0.10, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {

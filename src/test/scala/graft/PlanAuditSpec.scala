@@ -32,11 +32,16 @@ class PlanAuditSpec extends SparkSpec {
     // bounded-by-construction similarity sides (constant vec_id
     // predicates / fixed centroid sets over embeddings) are checked
     // structurally: a filter on the key must sit between hint and scan.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val bounded = Set("nation", "region")
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
+    // grouping keys with sf-independent domains: embedding geometry is
+    // fixed by the model (64 dims, 8 subspaces, 16 centroids), not by
+    // corpus size
+    val fixedGeometry = Set("dim", "sub", "cent_id")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
       analyzed.foreach {
@@ -49,14 +54,27 @@ class PlanAuditSpec extends SparkSpec {
             }
             case _ => Nil
           }.toSet
-          // an Aggregate bounds the hinted side by its grouping domain —
-          // every grouped hint in-repo groups on embedding geometry
-          // (dim / sub / cent_id: fixed by the model, not by sf) and the
-          // scalar ones have no grouping at all
-          val agg = h.child.exists { case _: Aggregate => true; case _ => false }
-          val filtered = h.child.exists { case _: Filter => true; case _ => false }
-          val ok = leafTables.subsetOf(bounded) || agg ||
-            (filtered && leafTables.subsetOf(Set("embeddings")))
+          // the TOPMOST Aggregate bounds the hinted side only if it is
+          // scalar (no grouping — one row) or groups exclusively on
+          // fixed-geometry keys; any Aggregate is NOT enough — a forced
+          // broadcast of customer.groupBy(c_custkey).agg(...) grows
+          // with sf and must fail this audit
+          val aggOk = h.child.collectFirst { case a: Aggregate => a }.exists { a =>
+            a.groupingExpressions.isEmpty ||
+              a.groupingExpressions.forall {
+                case ar: AttributeReference => fixedGeometry.contains(ar.name)
+                case _ => false
+              }
+          }
+          // a bounding Filter must PIN vec_id against literals (the
+          // constant query/centroid id sets) — a filter on any other
+          // column keeps the side proportional to sf
+          val filterOk = h.child.collectFirst { case f: Filter => f }.exists { f =>
+            f.condition.references.exists(_.name == "vec_id") &&
+              f.condition.exists { case _: Literal => true; case _ => false }
+          }
+          val ok = leafTables.subsetOf(bounded) || aggOk ||
+            (filterOk && leafTables.subsetOf(Set("embeddings")))
           assert(ok, s"$name forces a broadcast hint on sf-scaling " +
             s"table(s) ${leafTables.intersect(scaling)} with no bounding reduction")
         case _ => ()
@@ -71,7 +89,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no cartesian product outside the intended all-pairs queries") {
-    // emb_neardup_cosine is NOT exempt: the registered query is the
+    // emb_neardup_lsh is NOT exempt: the registered query is the
     // banded-LSH pair join; only the spec-only allPairsNeardup twin may
     // go cartesian
     for (name <- SparkEntry.queries.keys if name != "ann_cosine_topk") {
@@ -81,7 +99,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("banded near-dup join is equi on (band, value) — no nested loop") {
-    val p = plan("emb_neardup_cosine")
+    val p = plan("emb_neardup_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -112,10 +130,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("sq8 quantization broadcasts the per-dimension stats and query codes") {
-    val p = plan("ann_sq8_topk")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  test("sq8/pq score array-native: codegen kernel, no per-dim explode-join") {
+    // the compressed corpus stays ONE row per vector: scoring must be
+    // the codegen'd integer kernel against a broadcast scalar/query-set
+    // side (tiny BNLJ is the intended shape), never a 64x posexplode
+    // join + hash aggregate
+    val sq8 = plan("ann_sq8_topk")
+    assert(sq8.toLowerCase.contains("dotproductint"), sq8)
+    assert(!sq8.contains("CartesianProduct"), sq8)
+    val pq = plan("ann_pq_adc")
+    assert(pq.toLowerCase.contains("codelookupsum"), pq)
+    assert(!pq.contains("CartesianProduct"), pq)
   }
 
   test("interval outer join keeps the equi key (no nested loop)") {

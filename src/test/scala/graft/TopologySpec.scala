@@ -77,6 +77,39 @@ class TopologySpec extends SparkSpec {
       .orderBy(desc("cnt"), col("word"))) === want)
   }
 
+  test("two topologies run concurrently in one session (the master-registry analogue)") {
+    // Crane's master runs ONE topology selected from its registry
+    // (reference crane_master.py:177-193); SparkEntry.queries is that
+    // registry here, and one SparkSession supersets the master by
+    // running several checkpointed streaming topologies AT ONCE — each
+    // with its own source dir, checkpoint, and sink, draining
+    // independently to correct results.
+    val wcIn = Files.createTempDirectory("graft-conc-wc-in")
+    val twIn = Files.createTempDirectory("graft-conc-tw-in")
+    Files.writeString(wcIn.resolve("a.txt"), "x y\nx z\n")
+    Files.writeString(twIn.resolve("a.txt"), "alice,60\nbob,40\ncarol,80\n")
+
+    val wcQ = Streams.wordCountStream(spark, wcIn.toString)
+      .writeStream.outputMode("complete").format("memory").queryName("conc_wc")
+      .option("checkpointLocation", Files.createTempDirectory("graft-conc-wc-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val twQ = Streams.twitterStream(spark, twIn.toString)
+      .writeStream.outputMode("complete").format("memory").queryName("conc_tw")
+      .option("checkpointLocation", Files.createTempDirectory("graft-conc-tw-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+
+    // both live at once before either drains
+    assert(spark.streams.active.count(q => q.name == "conc_wc" || q.name == "conc_tw") === 2,
+      "both topologies must be active concurrently")
+    wcQ.awaitTermination()
+    twQ.awaitTermination()
+
+    val wc = spark.table("conc_wc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc === Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    val tw = spark.table("conc_tw").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tw.toSeq === Seq(("result", 2L))) // strict > 50: alice, carol
+  }
+
   test("streaming dedup drops watermark-horizon duplicates") {
     val ev = Tables.events(spark, sf0001)
     val dir = Files.createTempDirectory("graft-dedup-in").toString
