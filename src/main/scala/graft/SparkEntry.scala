@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{AsOf, Dedup, EventTime, Graph, Multimodal, ParityQueries, Relational, Sampling, Similarity, Sketches}
+import graft.operators.{AsOf, Clustering, Dedup, EventTime, Graph, Multimodal, ParityQueries, Pipeline, Relational, Sampling, Similarity, Sketches}
 import graft.streaming.Sessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,7 +29,8 @@ object SparkEntry {
     ParityQueries.queries ++ Relational.queries ++ EventTime.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOf.queries ++ Sketches.queries ++
-      Graph.queries ++ Sampling.queries ++ Map(
+      Graph.queries ++ Sampling.queries ++ Clustering.queries ++
+      Pipeline.queries ++ Map(
       // O14 analogue: typed flatMapGroups sessionizer; same oracle as the
       // declarative events_session — the custom stateful op must agree
       // with the SQL formulation.
@@ -41,7 +42,8 @@ object SparkEntry {
     ParityQueries.oracles ++ Relational.oracles ++ EventTime.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOf.oracles ++ Sketches.oracles ++
-      Graph.oracles ++ Sampling.oracles ++ Map(
+      Graph.oracles ++ Sampling.oracles ++ Clustering.oracles ++
+      Pipeline.oracles ++ Map(
       "sessionize_stateful" -> EventTime.oracles("events_session")
     )
 }

@@ -41,6 +41,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Composite quality score in [0,1]: stopword share + length credit
+    * (capped at 100 tokens) + cleanliness — the text_quality column and
+    * the pipeline_clean_corpus keep-gate. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * hitRatio(text, StopEn) +
+      lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text))
+
   val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
   val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   val StopDe = Seq("der", "die", "und", "das", "ist", "ein")
@@ -95,10 +103,7 @@ object TextAnalysis {
     // Composite quality score in [0,1]: stopword share + length credit
     // (capped at 100 tokens) + cleanliness. Typical pre-training filter.
     "text_quality" -> ((s, dir) => {
-      val stop = hitRatio(col("text"), StopEn)
-      val lenCredit = least(lit(1.0), tokenCount(col("text")).cast("double") / lit(100.0))
-      val clean = lit(1.0) - punctRatio(col("text"))
-      val score = lit(0.4) * stop + lit(0.3) * lenCredit + lit(0.3) * clean
+      val score = qualityScore(col("text"))
       Tables.documents(s, dir)
         .select(col("doc_id"), round(score, 6).as("quality"),
           (score > 0.5).as("keep"))
@@ -192,6 +197,13 @@ object TextAnalysis {
   private def sqlHits(set: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  /** DuckDB twin of [[qualityScore]] (shared by the text_quality oracle
+    * and the pipeline_clean_corpus oracle). */
+  def qualitySql: String =
+    s"""(CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
+       |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+       |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)))""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
@@ -226,12 +238,8 @@ object TextAnalysis {
 
     "text_quality" ->
       s"""SELECT doc_id,
-         |  round(CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
-         |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
-         |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)), 6) AS quality,
-         |  (CAST(0.4 AS DOUBLE) * (CAST(${sqlHits(StopEn)} AS DOUBLE) / nullif(len(string_split(text, ' ')), 0))
-         |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
-         |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0))) > 0.5 AS keep
+         |  round($qualitySql, 6) AS quality,
+         |  $qualitySql > 0.5 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_bpe_pairs" ->

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.DotProductInt
+
+/** Distributed k-means (Lloyd's algorithm) over the embeddings table —
+  * the clustering pass a training-data pipeline runs to diversify or
+  * stratify a corpus (and the trained analogue of ann_ivf_topk's fixed
+  * coarse centroids).
+  *
+  * Built INTEGER-EXACT so the result is deterministic at any parallelism
+  * and replayable by the DuckDB oracle bit-for-bit:
+  *   - every embedding is quantized once to micro-units
+  *     (floor(x * 1e6) per dimension — exact: float→double widening and
+  *     the double multiply are identical IEEE ops in both engines);
+  *   - distances are integer arithmetic (no float-sum ordering issues);
+  *   - centroid updates are floor(mean) of integers — sums stay well
+  *     under 2^53, so the double division is exact on both engines.
+  *
+  * Scale shape: the ASSIGN step is shuffle-free — one row per vector
+  * scored against a broadcast array of k centroids, with the argmin
+  * computed row-wise (k=16 structs, lexicographic array_min). Ranking
+  * uses dot(c,c) - 2*dot(q,c), which orders identically to ||q-c||²
+  * (the ||q||² term is constant per row) and keeps the hot path on the
+  * codegen'd DotProductInt kernel. The UPDATE step is the only shuffle:
+  * explode to (cell, dim, v) and sum — at 1000 executors that is the
+  * canonical reduceByKey k-means update, linear in corpus size. Per
+  * round: one broadcast + one shuffle, the minimum Lloyd's requires.
+  */
+object Clustering {
+
+  private val K = 16
+  private val CentBase = 16 // vec_id 16..31 seed the centroids (IVF convention)
+
+  /** FLOAT[] embedding → exact integer micro-units ARRAY<INT>.
+    * |x| < 2148 keeps micro-units inside INT; the corpus is unit-scale. */
+  private def microQuant(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1e6)).cast("int"))
+
+  /** Collapse a (cid, carr) centroid set to ONE broadcastable row holding
+    * the cid-ordered ARRAY<STRUCT<cid, carr>>. */
+  private def centRow(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+
+  /** Nearest-centroid assignment, shuffle-free: crossJoin the one-row
+    * broadcast centroid array, then a row-wise argmin over k struct
+    * scores; ties break on the smaller cid (struct lexicographic min). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centRow(cents)))
+      .select(col("vec_id"), col("qarr"),
+        array_min(transform(col("cents"), c =>
+          struct(
+            (DotProductInt(c.getField("carr"), c.getField("carr")) -
+              lit(2L) * DotProductInt(col("qarr"), c.getField("carr"))).as("s"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cell"))
+
+  /** Lloyd UPDATE: per-cell per-dim floor(mean) of the micro-unit codes,
+    * re-assembled into cid-keyed centroid arrays. One shuffle of
+    * (cell, dim) keyed partial sums — map-side combine applies. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("qarr")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("int").as("cv"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("carr"))
+      .select(col("cell").as("cid"), col("carr"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Two Lloyd rounds from deterministic seeds (vec_id 16..31):
+    // assign → recompute centroids → re-assign; report each final
+    // cluster's size, id stats, and its centroid's coordinate checksum.
+    "kmeans_lloyd" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
+      val cents0 = emb
+        .filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + K)
+        .select((col("vec_id") - CentBase).cast("int").as("cid"), col("qarr").as("carr"))
+      val cents1 = recompute(assign(emb, cents0))
+      val a2 = assign(emb, cents1)
+      val centSums = cents1.select(col("cid").as("cell"),
+        aggregate(col("carr"), lit(0L), (acc, v) => acc + v).as("cent_sum"))
+      a2.groupBy("cell")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"),
+          sum("vec_id").as("vec_sum"))
+        .join(centSums, "cell")
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          col("min_vec"), col("vec_sum"), col("cent_sum"))
+        .orderBy("cell")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // The oracle replays the integer formulation dim-exploded; ranking by
+    // sum((v-cv)²) is the same argmin as Spark's dot(c,c)-2·dot(q,c)
+    // (they differ by the per-vector constant ||q||²), with the same
+    // smaller-cid tiebreak.
+    "kmeans_lloyd" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q
+         |       WHERE vec_id >= $CentBase AND vec_id < ${CentBase + K}),
+         |d1 AS (
+         |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+         |  FROM q x JOIN c0 c USING (dim) GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT a1.cell AS cid, q.dim,
+         |         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+         |  FROM q x JOIN c1 c USING (dim) GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dd) WHERE rn = 1),
+         |cs AS (SELECT cid AS cell, CAST(sum(cv) AS BIGINT) AS cent_sum
+         |       FROM c1 GROUP BY 1)
+         |SELECT CAST(a2.cell AS BIGINT) AS cell, count(*) AS n,
+         |       min(vec_id) AS min_vec, CAST(sum(vec_id) AS BIGINT) AS vec_sum,
+         |       cs.cent_sum
+         |FROM a2 JOIN cs USING (cell)
+         |GROUP BY a2.cell, cs.cent_sum ORDER BY cell""".stripMargin
+  )
+}

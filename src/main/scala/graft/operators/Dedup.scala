@@ -49,6 +49,7 @@ object Dedup {
   private val NumHashes = 16
   private val Bands = 4
   private val Rows = 4 // NumHashes / Bands
+  private val SubstrLen = 20 // dedup_substring_spans window width (chars)
 
   /** 60-bit numeric md5 hash (see [[graft.functions.PortableHash]] for
     * why numeric: HashAggregate-friendly primitive agg buffers). */
@@ -533,6 +534,61 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-substring spans — the exact-substring dedup statistic
+    // (how much of each document's raw text also appears elsewhere):
+    // every 20-char window of every document is fingerprinted with
+    // hash60, and a document's dup_spans counts windows whose
+    // fingerprint occurs more than once corpus-wide (within-doc repeats
+    // included — a repeated span is duplicated text wherever it lives).
+    // Shape at scale: the window fan-out is bounded at 8192 positions
+    // per doc, fingerprints (8-byte ints, never the 20-char strings)
+    // take ONE groupBy for corpus-wide occurrence counts and one join
+    // back — both on the 60-bit hash, which partitions uniformly. The
+    // suffix-array formulation finds arbitrary-length spans; fixed-L
+    // windowing is its standard distributed relaxation (any duplicated
+    // run >= L chars is caught by its windows).
+    "dedup_substring_spans" -> ((s, dir) => {
+      val L = SubstrLen
+      val grams = Tables.documents(s, dir)
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"),
+          explode(sequence(lit(1),
+            least(length(col("text")) - (L - 1), lit(8192)))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), hash60(expr(s"substring(text, pos, $L)")).as("hg"))
+      val occ = grams.groupBy("hg").agg(count(lit(1)).as("occ"))
+      grams.join(occ, "hg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_spans"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_spans"))
+        .select(col("doc_id"), col("total_spans"), col("dup_spans"),
+          round(col("dup_spans").cast("double") / col("total_spans").cast("double"),
+            6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental (new-batch-vs-corpus) near-dup — the ingest-time shape
+    // of MinHash dedup: the arriving batch (here the deterministic 20%
+    // slice doc_id % 5 = 4) is checked against the existing corpus
+    // WITHOUT re-pairing the corpus against itself. Band buckets join
+    // old×new only, so steady-state ingest cost is proportional to the
+    // batch, not the corpus; candidates verify on full shingle sets.
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val bands = lshBands(stagedMinhashSigs(s, dir))
+      val old = bands.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val fresh = bands.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      val cand = old.join(fresh, Seq("band", "sig"))
+        .select("doc_a", "doc_b").distinct()
+      jaccardBySets(cand, sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("old_doc"), col("doc_b").as("new_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("old_doc", "new_doc")
+    }),
+
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // hash every 8-char gram, keep the min of each 16-gram window,
     // dedupe — the classic local fingerprint set whose overlap detects
@@ -709,6 +765,43 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, ${hash60Sql(s"substr(text, i, $SubstrLen)")} AS hg
+         |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+         |  WHERE length(text) >= $SubstrLen
+         |    AND i <= least(length(text) - ${SubstrLen - 1}, 8192)),
+         |occ AS (SELECT hg, count(*) AS occ FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS total_spans,
+         |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+         |       round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS dup_frac
+         |FROM g JOIN occ USING (hg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_minhash" ->
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band ${(0 until Bands).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+         |  FROM (SELECT doc_id, $bandSigs FROM sigs),
+         |       (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+         |  WHERE l.doc_id % 5 <> 4 AND r.doc_id % 5 = 4),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT cand.doc_a, cand.doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT doc_a AS old_doc, doc_b AS new_doc,
+         |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
+         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
+         |ORDER BY old_doc, new_doc""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $shingleCte,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+
+/** End-to-end corpus-cleaning pipeline — the composition every
+  * pre-training data run executes, as ONE declarative plan: quality
+  * filter → exact-dedup to a canonical copy → deterministic train/val
+  * split → per-(split, lang) audit. Each stage reuses the engine's
+  * primitives (TextAnalysis.qualityScore, the md5 fingerprint,
+  * Sampling.hashBucket), so this query is also the integration test
+  * that the pieces compose.
+  *
+  * Scale shape: the quality gate and fingerprint are a single narrow
+  * projection pass (no shuffle); canonicalization is one shuffle on the
+  * fingerprint; the split is hash arithmetic (no shuffle); the audit is
+  * one partial-agg groupBy. Three exchanges total over the corpus, each
+  * on a key that partitions evenly at any scale.
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val kept = Tables.documents(s, dir)
+        .filter(TextAnalysis.qualityScore(col("text")) > 0.5)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      val canon = kept
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      canon
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("split", "lang")
+    })
+  )
+
+  private val bucketSql =
+    s"${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100"
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents
+         |  WHERE ${TextAnalysis.qualitySql} > 0.5),
+         |canon AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |    FROM kept) WHERE rk = 1)
+         |SELECT CASE WHEN $bucketSql < 90 THEN 'train' ELSE 'val' END AS split,
+         |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM canon GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  )
+}

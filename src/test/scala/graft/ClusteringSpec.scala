@@ -1,0 +1,32 @@
+package graft
+
+import graft.core.Tables
+
+/** Invariant checks for the integer-exact Lloyd k-means at sf0.001 (the
+  * cross-engine oracle covers value equality at sf0.01).
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private def run() = SparkEntry.queries("kmeans_lloyd")(spark, sf0001)
+
+  test("kmeans_lloyd: a partition of the corpus into seeded cells") {
+    val rows = run().collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(_.getAs[Long]("cell"))
+    assert(cells.forall(c => c >= 0 && c < 16), "cell ids come from the 16 seeds")
+    assert(cells.distinct.length === cells.length, "one row per cell")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.embeddings(spark, sf0001).count(),
+      "every vector is assigned to exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_vec") <= r.getAs[Long]("vec_sum"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("kmeans_lloyd: deterministic across runs and shuffle settings") {
+    val a = run().collect().map(_.toString).toSeq
+    val b = run().collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+}

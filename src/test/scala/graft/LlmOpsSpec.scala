@@ -205,4 +205,47 @@ class LlmOpsSpec extends SparkSpec {
     for (name <- Seq("text_stats", "text_langid", "text_quality"))
       assert(run(name).count() === n, s"$name row count")
   }
+
+  test("dedup_substring_spans: one row per long-enough doc, sane fractions") {
+    val rows = run("dedup_substring_spans").collect()
+    val eligible = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) >= 20).count()
+    assert(rows.length.toLong === eligible)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_spans")
+      val dup = r.getAs[Long]("dup_spans")
+      val frac = r.getAs[Double]("dup_frac")
+      assert(dup >= 0 && dup <= total)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the corpus has planted near-dups, so duplicated spans must exist
+    assert(rows.map(_.getAs[Long]("dup_spans")).sum > 0)
+  }
+
+  test("dedup_incremental_minhash: cross-split subset of the full minhash pairs") {
+    val full = run("dedup_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val inc = run("dedup_incremental_minhash").collect()
+    inc.foreach { r =>
+      val o = r.getAs[Long]("old_doc"); val n = r.getAs[Long]("new_doc")
+      assert(o % 5 !== 4, "old side comes from the existing corpus")
+      assert(n % 5 === 4, "new side comes from the arriving batch")
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(full.contains((math.min(o, n), math.max(o, n))),
+        "incremental pairs are exactly the full run's pairs that cross the split")
+    }
+    val crossFull = full.filter { case (a, b) => (a % 5 == 4) != (b % 5 == 4) }
+    assert(inc.length === crossFull.size)
+  }
+
+  test("pipeline_clean_corpus: audit counts reconcile with the stage-by-stage run") {
+    val docs = Tables.documents(spark, sf0001)
+    val kept = docs
+      .filter(graft.functions.TextAnalysis.qualityScore(col("text")) > 0.5)
+      .withColumn("fp", graft.functions.TextAnalysis.fingerprint(col("text")))
+    val canonCount = kept.groupBy("fp").count().count()
+    val rows = run("pipeline_clean_corpus").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === canonCount)
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val")))
+  }
 }
