@@ -36,9 +36,19 @@ object Clustering {
   private val CentBase = 16 // vec_id 16..31 seed the centroids (IVF convention)
 
   /** FLOAT[] embedding → exact integer micro-units ARRAY<INT>.
-    * |x| < 2148 keeps micro-units inside INT; the corpus is unit-scale. */
+    * |x| < 2147 keeps micro-units inside INT (INT max is 2,147,483,647,
+    * i.e. 2147.48 units); the corpus is unit-scale. Out-of-range values
+    * FAIL LOUDLY via raise_error instead of wrapping silently on the
+    * non-ANSI long→int cast (which would diverge from the oracle's
+    * exact BIGINT arithmetic without any error). */
   private def microQuant(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(1e6)).cast("int"))
+    transform(emb, x => {
+      val micro = floor(x.cast("double") * lit(1e6)).cast("long")
+      when(micro.between(Int.MinValue.toLong, Int.MaxValue.toLong), micro.cast("int"))
+        .otherwise(raise_error(
+          concat(lit("microQuant overflow (|x| must be < 2147): "), x.cast("string")))
+          .cast("int"))
+    })
 
   /** Collapse a (cid, carr) centroid set to ONE broadcastable row holding
     * the cid-ordered ARRAY<STRUCT<cid, carr>>. */
@@ -70,18 +80,32 @@ object Clustering {
         s => s.getField("cv")).as("carr"))
       .select(col("cell").as("cid"), col("carr"))
 
+  /** Quantized corpus + the two-Lloyd-round trained centroids — shared
+    * between kmeans_lloyd and the trained-IVF search composition. */
+  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
+    val cents0 = emb
+      .filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + K)
+      .select((col("vec_id") - CentBase).cast("int").as("cid"), col("qarr").as("carr"))
+    (emb, recompute(assign(emb, cents0)))
+  }
+
+  /** (vec_id, cell) under the TRAINED coarse quantizer — the inverted-file
+    * assignment ann_ivf_trained_topk searches. Train → assign is the
+    * production IVF pipeline (vs ann_ivf_topk's fixed seed centroids). */
+  private[operators] def trainedCells(s: SparkSession, dir: String): DataFrame = {
+    val (emb, cents1) = trained(s, dir)
+    assign(emb, cents1).select(col("vec_id"), col("cell"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Two Lloyd rounds from deterministic seeds (vec_id 16..31):
     // assign → recompute centroids → re-assign; report each final
     // cluster's size, id stats, and its centroid's coordinate checksum.
     "kmeans_lloyd" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
-      val cents0 = emb
-        .filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + K)
-        .select((col("vec_id") - CentBase).cast("int").as("cid"), col("qarr").as("carr"))
-      val cents1 = recompute(assign(emb, cents0))
+      val (emb, cents1) = trained(s, dir)
       val a2 = assign(emb, cents1)
       val centSums = cents1.select(col("cid").as("cell"),
         aggregate(col("carr"), lit(0L), (acc, v) => acc + v).as("cent_sum"))
@@ -95,36 +119,41 @@ object Clustering {
     })
   )
 
+  /** CTE chain replaying the two-round training dim-exploded; the final
+    * CTE is a2(vec_id, cell). Shared verbatim by the kmeans_lloyd oracle
+    * and Similarity's ann_ivf_trained_topk oracle so the two gates can
+    * never drift apart. Ranking by sum((v-cv)²) is the same argmin as
+    * Spark's dot(c,c)-2·dot(q,c) (they differ by the per-vector constant
+    * ||q||²), with the same smaller-cid tiebreak. */
+  private[operators] val trainedCellsCtes: String =
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q
+       |       WHERE vec_id >= $CentBase AND vec_id < ${CentBase + K}),
+       |d1 AS (
+       |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+       |  FROM q x JOIN c0 c USING (dim) GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a1.cell AS cid, q.dim,
+       |         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |  FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+       |  FROM q x JOIN c1 c USING (dim) GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dd) WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // The oracle replays the integer formulation dim-exploded; ranking by
-    // sum((v-cv)²) is the same argmin as Spark's dot(c,c)-2·dot(q,c)
-    // (they differ by the per-vector constant ||q||²), with the same
-    // smaller-cid tiebreak.
     "kmeans_lloyd" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q
-         |       WHERE vec_id >= $CentBase AND vec_id < ${CentBase + K}),
-         |d1 AS (
-         |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
-         |  FROM q x JOIN c0 c USING (dim) GROUP BY 1, 2),
-         |a1 AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM d1) WHERE rn = 1),
-         |c1 AS (
-         |  SELECT a1.cell AS cid, q.dim,
-         |         CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         |  FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
-         |dd AS (
-         |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
-         |  FROM q x JOIN c1 c USING (dim) GROUP BY 1, 2),
-         |a2 AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM dd) WHERE rn = 1),
+      s"""WITH $trainedCellsCtes,
          |cs AS (SELECT cid AS cell, CAST(sum(cv) AS BIGINT) AS cent_sum
          |       FROM c1 GROUP BY 1)
          |SELECT CAST(a2.cell AS BIGINT) AS cell, count(*) AS n,

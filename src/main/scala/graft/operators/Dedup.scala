@@ -340,8 +340,31 @@ object Dedup {
     * local analogue of checkpointing the inverted index before LSH at
     * cluster scale. */
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // Purge every stage dir when the JVM exits so repeated sessions /
+  // long test runs don't accumulate graft-stage-* temp dirs on disk.
+  sys.addShutdownHook {
+    stagedDirs.values.foreach { d =>
+      try {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
+  // Stable unique id per session, minted once into the session-local
+  // runtime conf — hashCode can collide and doesn't identify a session.
+  private def sessionId(s: SparkSession): String = synchronized {
+    val k = "graft.stage.session.id"
+    s.conf.getOption(k).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      s.conf.set(k, id)
+      id
+    }
+  }
   private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val stage = stagedDirs.getOrElseUpdate(s.hashCode() + "|" + key, {
+    val stage = stagedDirs.getOrElseUpdate(sessionId(s) + "|" + key, {
       val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
       build.write.mode("overwrite").parquet(d)
       d
@@ -366,6 +389,22 @@ object Dedup {
     * per shingle instead of 1x16. */
   def stagedMinhashSigs(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|minhash")(minhashSignature(stagedShingles(s, dir)))
+  /** Substring-window fingerprints staged: dedup_substring_spans
+    * references the grams table twice (corpus-wide occ groupBy + the
+    * probe side of the join back), and the up-to-8192-windows-per-doc
+    * explode + hash60 pipeline is the query's dominant cost — unstaged
+    * it ran twice. */
+  def stagedGrams(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|grams|$SubstrLen") {
+      val L = SubstrLen
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"),
+          explode(sequence(lit(1),
+            least(length(col("text")) - (L - 1), lit(8192)))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), hash60(expr(s"substring(text, pos, $L)")).as("hg"))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -548,14 +587,7 @@ object Dedup {
     // windowing is its standard distributed relaxation (any duplicated
     // run >= L chars is caught by its windows).
     "dedup_substring_spans" -> ((s, dir) => {
-      val L = SubstrLen
-      val grams = Tables.documents(s, dir)
-        .filter(length(col("text")) >= L)
-        .select(col("doc_id"),
-          explode(sequence(lit(1),
-            least(length(col("text")) - (L - 1), lit(8192)))).as("pos"),
-          col("text"))
-        .select(col("doc_id"), hash60(expr(s"substring(text, pos, $L)")).as("hg"))
+      val grams = stagedGrams(s, dir)
       val occ = grams.groupBy("hg").agg(count(lit(1)).as("occ"))
       grams.join(occ, "hg")
         .groupBy("doc_id")

@@ -96,33 +96,42 @@ object Similarity {
 
     // APPROXIMATE embedding near-duplicate pairs above a cosine
     // threshold (0.4 — calibrated to this corpus; raise for real
-    // dedup), via BANDED sign-LSH: 8 bands of 8 hyperplane signs tile
-    // all 64 dims, a pair is a candidate iff it agrees on EVERY sign of
-    // at least one band (equi-join per band — never an all-pairs scan),
-    // and candidates are verified with the exact cosine on the full
+    // dedup), via MULTI-PROBE banded sign-LSH: 8 bands of 8 hyperplane
+    // signs tile all 64 dims, and a pair is a candidate iff some band
+    // matches within hamming distance <= 1 — realized as an equi-join
+    // of exact band values against the probe side's 9 values per band
+    // (the exact value + its 8 one-bit flips), never an all-pairs
+    // scan. Candidates are verified with the exact cosine on the full
     // vectors.
     //
     // RECALL CONTRACT (hence the _lsh name): precision is 1.0 — every
     // reported pair truly has cosine >= 0.4, scored exactly — but
-    // recall is that of the LSH family: per-sign agreement for a
-    // cosine-0.4 pair is p = 1 - acos(0.4)/pi ~ 0.63, so expected
-    // recall ~ 1-(1-p^8)^8 ~ 0.2 at the threshold, rising steeply with
-    // similarity (~0.9 at cosine 0.8). At a 0.4 threshold no LSH
-    // configuration is both high-recall and sub-quadratic (narrower
-    // bands admit a constant fraction of ALL pairs as candidates); a
-    // caller needing exhaustive pairs at low thresholds needs the
-    // all-pairs scan, which lives spec-only (allPairsNeardup) because
-    // a registered cartesian product cannot run at corpus scale. The
-    // oracle replays this exact banded formulation, so the entry is
-    // hash-checked, not rows-only.
+    // recall is that of the LSH family. Per-sign agreement for a
+    // cosine-0.4 pair is p = 1 - acos(0.4)/pi ~ 0.63; a single band
+    // matches within hamming <= 1 with prob p^8 + 8p^7(1-p) ~ 0.14,
+    // so expected recall over 8 bands is ~ 1-(1-0.14)^8 ~ 0.7 at the
+    // threshold (vs ~0.2 for exact-band matching), rising steeply with
+    // similarity. Multi-probe buys that recall with a 9x wider probe
+    // stream instead of more tables — the standard memory-lean
+    // trade-off. At a 0.4 threshold no LSH configuration is both
+    // exhaustive and sub-quadratic; a caller needing every pair at low
+    // thresholds needs the all-pairs scan, which lives spec-only
+    // (allPairsNeardup) because a registered cartesian product cannot
+    // run at corpus scale. The oracle replays this exact multi-probe
+    // formulation, so the entry is hash-checked, not rows-only.
     "emb_neardup_lsh" -> ((s, dir) => {
       val emb = withNorm(Tables.embeddings(s, dir))
       val bandVals = array((0 until NeardupBands).map(b =>
         VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
       val bx = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+      // probe stream: each band value plus its 8 one-bit flips; an
+      // exact-side row then equi-joins any probe within hamming <= 1
+      val probes = bx.select(col("vec_id").as("vec_b"), col("band"),
+        explode(concat(array(col("bval")),
+          array((0 until NeardupBandBits).map(j =>
+            col("bval").bitwiseXOR(lit(1L << j))): _*))).as("bval"))
       val cand = bx.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
-        .join(bx.select(col("vec_id").as("vec_b"), col("band"), col("bval")),
-          Seq("band", "bval"))
+        .join(probes, Seq("band", "bval"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
       cand
@@ -158,6 +167,34 @@ object Similarity {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // TRAINED-IVF ANN — the production composition: train the coarse
+    // quantizer (two integer-exact Lloyd rounds, Clustering.trainedCells),
+    // build the inverted file from its assignment, then search each
+    // query's cell with exact cosine. Identical search shape to
+    // ann_ivf_topk, but the cells come from k-means training rather than
+    // fixed seed vectors, so cell populations are balanced the way a
+    // real IVF index's are. The training assign is shuffle-free
+    // (broadcast centroid argmin) and the oracle replays the full
+    // two-round training via the shared CTE chain.
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val assigned = emb.join(Clustering.trainedCells(s, dir), "vec_id")
       val q = assigned.filter(col("vec_id") < QuerySetSize)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cell"))
@@ -348,9 +385,14 @@ object Similarity {
       s"""WITH bx AS (
          |  SELECT vec_id, b.band, $neardupBandSql AS bval
          |  FROM embeddings, (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
+         |probes AS (
+         |  SELECT vec_id, band, bval FROM bx
+         |  UNION ALL
+         |  SELECT vec_id, band, xor(bval, CAST(f.p AS BIGINT)) AS bval
+         |  FROM bx, (SELECT unnest([${(0 until NeardupBandBits).map(1L << _).mkString(", ")}]) AS p) f),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bval = b.bval
+         |  FROM bx a JOIN probes b ON a.band = b.band AND a.bval = b.bval
          |         AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b,
          |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS score
@@ -433,6 +475,25 @@ object Similarity {
          |             ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id) AS crank
          |    FROM embeddings e, cents c)
          |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM assigned e JOIN assigned q ON e.cell = q.cell
+         |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    // replays the TWO-ROUND TRAINING via the CTE chain shared with the
+    // kmeans_lloyd oracle, then the in-cell cosine search
+    "ann_ivf_trained_topk" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, a2.cell
+         |  FROM embeddings e JOIN a2 USING (vec_id)),
          |scored AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
          |         ${cosineSql("e.embedding", "q.embedding")} AS score

@@ -26,7 +26,14 @@ class ClusteringSpec extends SparkSpec {
 
   test("kmeans_lloyd: deterministic across runs and shuffle settings") {
     val a = run().collect().map(_.toString).toSeq
-    val b = run().collect().map(_.toString).toSeq
-    assert(a === b)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // Genuinely vary the shuffle layout: a different (prime) partition
+      // count re-routes every exchange, so any ordering-dependent float
+      // accumulation or tiebreak would surface as a value change.
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run().collect().map(_.toString).toSeq
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -130,12 +130,13 @@ class LlmOpsSpec extends SparkSpec {
     }
     // this corpus's pairs sit barely above the 0.4 threshold (tail of a
     // random-similarity distribution, worst case for any LSH family);
-    // per-band agreement p ≈ 0.63 ⇒ expected recall ≈ 1-(1-p^8)^8 ≈ 0.2
-    // — the documented recall contract of emb_neardup_lsh; the floor
-    // sits at half the expectation to absorb corpus-draw variance while
-    // still catching a banding bug (which collapses recall to ~0)
+    // with multi-probe (hamming <= 1 per band) per-band match prob is
+    // p^8 + 8p^7(1-p) ≈ 0.14 at p ≈ 0.63 ⇒ expected recall over 8
+    // bands ≈ 1-(1-0.14)^8 ≈ 0.7 — the documented recall contract of
+    // emb_neardup_lsh; the 0.5 floor absorbs corpus-draw variance while
+    // still catching a banding/probe bug (which collapses recall)
     val recall = banded.size.toDouble / exact.size
-    assert(recall >= 0.10, s"recall $recall collapsed (${banded.size}/${exact.size})")
+    assert(recall >= 0.5, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {

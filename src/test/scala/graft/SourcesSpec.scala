@@ -41,6 +41,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSeq === out.collect().map(_.toSeq).toSeq)
   }
 
+  test("text sink round-trip: wordcount out as `k --- v` lines and back") {
+    // the reference's own sink shape: its Spark twin saveAsTextFiles the
+    // counts (spark_app/spark_wordcount.py:46), its master dumps
+    // `k --- v` (crane_master.py:166-169)
+    import graft.sources.TextSink
+    val dir = Files.createTempDirectory("graft-text").toString
+    val counts = Parity.wordCount(spark.read.text("/root/reference/app/wordcount2k.csv"))
+    TextSink.write(counts, dir)
+    val back = TextSink.readCounts(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back === want)
+    // and the files really are plain `k --- v` text lines
+    val raw = spark.read.text(dir).collect().map(_.getString(0))
+    assert(raw.forall(_.contains(" --- ")), "every line carries the dump separator")
+  }
+
   test("JSON source/sink round-trip (events projection)") {
     val dir = Files.createTempDirectory("graft-json").toString
     val ev = Tables.events(spark, sf0001)

@@ -110,6 +110,67 @@ class TopologySpec extends SparkSpec {
     assert(tw.toSeq === Seq(("result", 2L))) // strict > 50: alice, carol
   }
 
+  test("ingest-dedup topology: micro-batches vs corpus, versioned, exactly-once") {
+    import graft.operators.Dedup
+    import graft.sources.VersionedStore
+    import graft.streaming.IngestDedup
+
+    // same split as the batch dedup_incremental_minhash query: corpus =
+    // doc_id % 5 != 4, the arriving docs are the % 5 == 4 slice — staged
+    // as TWO parquet files so maxFilesPerTrigger=1 yields two micro-batches
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/f0")
+    docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/f1")
+    // flatten the two single-file datasets into one source dir
+    val srcDir = Files.createTempDirectory("graft-ingest-src")
+    Seq("f0", "f1").zipWithIndex.foreach { case (f, i) =>
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(in, f))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"batch$i.parquet"))
+    }
+    val base = Files.createTempDirectory("graft-ingest-store").toString
+    val cp = Files.createTempDirectory("graft-ingest-cp").toString
+
+    def runOnce(): Unit =
+      IngestDedup.start(spark, corpus, srcDir.toString, base, cp).awaitTermination()
+
+    runOnce()
+    assert(VersionedStore.listVersions(base).size === 2,
+      "one store version per micro-batch")
+
+    // union of per-batch pairs == the batch dedup_incremental_minhash
+    // result (each new doc pairs with the corpus independently)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Long]("new_doc")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val streamed = pairsOf(VersionedStore.readVersions(spark, base, 2)
+      .select("corpus_doc", "new_doc", "jaccard"))
+    val batch = SparkEntry.queries("dedup_incremental_minhash")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("old_doc"), r.getAs[Long]("new_doc")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(streamed === batch,
+      s"streamed pairs ${streamed.keySet} != batch pairs ${batch.keySet}")
+
+    // exactly-once: re-running from the same checkpoint with no new files
+    // adds nothing, and a REPLAYED batch overwrites its own version
+    // instead of appending (writeBatch idempotence)
+    runOnce()
+    assert(VersionedStore.listVersions(base).size === 2, "no reprocessing on resume")
+    val sh = Dedup.shingles(corpus)
+    val bands = Dedup.lshBands(Dedup.minhashSignature(sh))
+    val replayed = IngestDedup.pairsVsCorpus(sh, bands,
+      spark.read.parquet(srcDir.resolve("batch0.parquet").toString))
+    VersionedStore.writeBatch(replayed, base, 0L): Unit
+    assert(VersionedStore.listVersions(base).size === 2, "replay overwrites, never appends")
+    assert(pairsOf(VersionedStore.readVersions(spark, base, 2)
+      .select("corpus_doc", "new_doc", "jaccard")) === streamed,
+      "replayed batch content identical")
+  }
+
   test("streaming dedup drops watermark-horizon duplicates") {
     val ev = Tables.events(spark, sf0001)
     val dir = Files.createTempDirectory("graft-dedup-in").toString
