@@ -96,13 +96,17 @@ object Dedup {
       .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
   }
 
+  /** Reduce a (doc_a, doc_b, shared, ca, cb) shared-count table to the
+    * symmetric Jaccard score. */
+  def jaccardOfShared(shared: DataFrame): DataFrame =
+    shared.select(col("doc_a"), col("doc_b"),
+      (col("shared").cast("double") /
+        (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
+
   /** Exact Jaccard for candidate pairs — [[sharedCountsFor]] reduced to
     * the symmetric score. */
   def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame =
-    sharedCountsFor(cand, sh)
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") /
-          (col("ca") + col("cb") - col("shared")).cast("double")).as("jaccard"))
+    jaccardOfShared(sharedCountsFor(cand, sh))
 
   /** Exact Jaccard for candidate pairs by per-doc shingle-set
     * intersection: O(|candidates| × doc length), independent of shingle
@@ -394,6 +398,16 @@ object Dedup {
     * probe side of the join back), and the up-to-8192-windows-per-doc
     * explode + hash60 pipeline is the query's dominant cost — unstaged
     * it ran twice. */
+  /** df-capped shared counts staged: THREE registered queries consume the
+    * identical artifact — dedup_ngram_jaccard and dedup_ngram_jaccard_capped
+    * score Jaccard from it, dedup_containment scores both containment
+    * directions from it — and unstaged each re-ran the capped
+    * inverted-index self-join + shared-count aggregate from scratch. */
+  def stagedCappedShared(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    staged(s, s"$dir|cappedshared|$maxDf") {
+      val sh = stagedShingles(s, dir)
+      sharedCountsFor(cappedCandidates(sh, maxDf), sh)
+    }
   def stagedGrams(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|grams|$SubstrLen") {
       val L = SubstrLen
@@ -427,13 +441,11 @@ object Dedup {
     // pair-for-pair equality with the uncapped formulation
     // (sharedCounts), and the DuckDB oracle replays the SAME df-capped
     // candidate generation so the gate checks the shipped semantics.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      jaccardFor(cappedCandidates(sh, maxDf = 64), sh)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardOfShared(stagedCappedShared(s, dir, 64))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
@@ -465,14 +477,11 @@ object Dedup {
     // recovered as long as any one of them is rare, so the cap changes
     // candidates only, not reported pairs (spec + oracle assert
     // equality with the uncapped query).
-    "dedup_ngram_jaccard_capped" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      val cand = cappedCandidates(sh, maxDf = 64)
-      jaccardFor(cand, sh)
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      jaccardOfShared(stagedCappedShared(s, dir, 64))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // Same reported pairs again via lossless prefix filtering: few
     // candidates (set-intersection verify), no df cap needed.
@@ -515,8 +524,7 @@ object Dedup {
     // of those is rare — LlmOpsSpec asserts equality with the uncapped
     // formulation, and the oracle replays the same capped candidates.
     "dedup_containment" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      val shared = sharedCountsFor(cappedCandidates(sh, maxDf = 64), sh)
+      val shared = stagedCappedShared(s, dir, 64)
       val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
         (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
       val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
