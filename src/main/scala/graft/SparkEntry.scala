@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{AsOf, Clustering, Dedup, EventTime, Graph, Multimodal, ParityQueries, Pipeline, Relational, Sampling, Similarity, Sketches}
+import graft.operators.{AsOf, Clustering, Dedup, EventTime, Graph, Layout, Multimodal, ParityQueries, Pipeline, Relational, Sampling, Similarity, Sketches}
 import graft.streaming.Sessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,7 +30,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOf.queries ++ Sketches.queries ++
       Graph.queries ++ Sampling.queries ++ Clustering.queries ++
-      Pipeline.queries ++ Map(
+      Pipeline.queries ++ Layout.queries ++ Map(
       // O14 analogue: typed flatMapGroups sessionizer; same oracle as the
       // declarative events_session — the custom stateful op must agree
       // with the SQL formulation.
@@ -43,7 +43,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOf.oracles ++ Sketches.oracles ++
       Graph.oracles ++ Sampling.oracles ++ Clustering.oracles ++
-      Pipeline.oracles ++ Map(
+      Pipeline.oracles ++ Layout.oracles ++ Map(
       "sessionize_stateful" -> EventTime.oracles("events_session")
     )
 }

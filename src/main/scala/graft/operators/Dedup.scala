@@ -539,6 +539,25 @@ object Dedup {
         .orderBy("src_doc", "dst_doc")
     }),
 
+    // Cross-source duplication matrix: near-dup pairs (J >= 0.5, df-capped
+    // candidates) rolled up by unordered source pair — the contamination
+    // audit a multi-source corpus runs to find which feeds overlap (and
+    // how much a "new" source merely re-crawls an existing one). Reads
+    // the staged shared-count artifact, so the marginal cost is one
+    // 5-column join against the (tiny, broadcast) doc→source map.
+    "dedup_cross_source" -> ((s, dir) => {
+      val pairs = jaccardOfShared(stagedCappedShared(s, dir, 64))
+        .filter(col("jaccard") >= 0.5)
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // Per-doc 32-bit simhash fingerprint.
     "dedup_simhash" -> ((s, dir) =>
       stagedSimhash(s, dir).orderBy("doc_id")),
@@ -737,6 +756,26 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_cross_source" ->
+      s"""WITH $shingleCte,
+         |$cappedCandSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5)
+         |SELECT least(da.source, db.source) AS src_lo,
+         |       greatest(da.source, db.source) AS src_hi,
+         |       count(*) AS dup_pairs
+         |FROM pairs JOIN documents da ON doc_a = da.doc_id
+         |           JOIN documents db ON doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,

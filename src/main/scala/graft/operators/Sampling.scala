@@ -39,6 +39,30 @@ object Sampling {
         .agg(count(lit(1)).as("n"), rsum2(col("value")).as("value_sum"))
         .orderBy("event_type", "split")),
 
+    // Temperature-based source re-weighting (the multilingual-corpus
+    // flattening pass, τ = 0.5): each source is downsampled at rate
+    // sqrt(n_min / n_s), so the rarest source keeps everything and the
+    // biggest sources are flattened toward sqrt scaling. Deterministic
+    // end to end — the per-source keep threshold is floor(1e6·sqrt(ratio))
+    // (sqrt and the division are single correctly-rounded IEEE ops, so
+    // both engines agree bit-for-bit) and membership is the md5 bucket of
+    // the doc id, never rand(). One count pass, one broadcast of the
+    // 20-row threshold table, one audit aggregation.
+    "sample_temperature_sources" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val thr = counts.crossJoin(broadcast(counts.agg(min("n_docs").as("n_min"))))
+        .select(col("source"), col("n_docs"),
+          floor(lit(1e6) * sqrt(col("n_min").cast("double") /
+            col("n_docs").cast("double"))).cast("long").as("threshold"))
+      docs.join(broadcast(thr), "source")
+        .groupBy(col("source"), col("n_docs"), col("threshold"))
+        .agg(sum(when(pmod(PortableHash.hash60(col("doc_id").cast("string")),
+          lit(1000000L)) < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+        .select("source", "n_docs", "threshold", "n_kept")
+        .orderBy("source")
+    }),
+
     // Stratified 10% sample (bucket 0 of 10 per doc), with per-language
     // acceptance stats — the reproducible corpus-thinning pass.
     "sample_stratified_docs" -> ((s, dir) =>
@@ -63,6 +87,20 @@ object Sampling {
          |       count(*) AS n,
          |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
          |FROM events GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin,
+
+    "sample_temperature_sources" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |thr AS (
+         |  SELECT source, n_docs,
+         |         CAST(floor(1e6 * sqrt(
+         |           CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs))
+         |           AS BIGINT) AS threshold
+         |  FROM counts)
+         |SELECT d.source, t.n_docs, t.threshold,
+         |       CAST(sum(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 1000000 < t.threshold
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN thr t ON d.source = t.source
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "sample_stratified_docs" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -183,6 +183,37 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe bucketed search — ann_lsh_bucketed with the query
+    // probing its own bucket PLUS the 8 one-bit-flip buckets (9 probes):
+    // the standard recall lift for sign-LSH without adding hash tables.
+    // Per-bit agreement p rises the candidate-found probability from p^8
+    // to p^8 + 8p^7(1-p); candidates stay bucket-restricted (the corpus
+    // side never explodes — only the tiny broadcast query side carries
+    // 9 rows per query), so the scan cost is ~9 bucket lookups instead
+    // of a corpus sweep. Scores are exact cosine, ties by vec_id.
+    "ann_multiprobe_topk" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+        .withColumn("bucket", VectorOps.signBucket(col("embedding"), BucketBits))
+      val q = emb.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"),
+          explode(concat(array(col("bucket")),
+            array((0 until BucketBits).map(j =>
+              col("bucket").bitwiseXOR(lit(1L << j))): _*))).as("bucket"))
+      val scored = emb.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // TRAINED-IVF ANN — the production composition: train the coarse
     // quantizer (two integer-exact Lloyd rounds, Clustering.trainedCells),
     // build the inverted file from its assignment, then search each
@@ -374,6 +405,26 @@ object Similarity {
          |         ${cosineSql("e.embedding", "q.embedding")} AS score
          |  FROM eb e JOIN eb q ON e.bucket = q.bucket
          |  WHERE q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_multiprobe_topk" ->
+      s"""WITH eb AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |qp AS (
+         |  SELECT vec_id, embedding, bucket FROM eb WHERE vec_id < $QuerySetSize
+         |  UNION ALL
+         |  SELECT vec_id, embedding, xor(bucket, CAST(f.p AS BIGINT)) AS bucket
+         |  FROM eb, (SELECT unnest([${(0 until BucketBits).map(1L << _).mkString(", ")}]) AS p) f
+         |  WHERE vec_id < $QuerySetSize),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM eb e JOIN qp q ON e.bucket = q.bucket
+         |  WHERE e.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT query_id, vec_id, score,
          |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank

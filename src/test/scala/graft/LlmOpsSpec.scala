@@ -139,6 +139,78 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
+  test("ann_multiprobe_topk dominates single-bucket search, scores stay exact") {
+    val exact = run("ann_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("score")).toMap
+    // exact scoring: every multiprobe hit carries the brute-force cosine
+    val mp = run("ann_multiprobe_topk").collect()
+    mp.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      exact.get(key).foreach(s => assert(s === r.getAs[Double]("score"), s"$key"))
+    }
+    // candidate superset ⇒ rank-for-rank scores at least as good as the
+    // single-bucket search
+    def ranked(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("score")).toMap
+    val single = ranked("ann_lsh_bucketed")
+    val multi = ranked("ann_multiprobe_topk")
+    single.foreach { case (k, s) =>
+      assert(multi.getOrElse(k, Double.MinValue) >= s,
+        s"multiprobe rank $k worse than single-bucket")
+    }
+  }
+
+  test("dedup_cross_source: matrix totals match the pair list") {
+    val pairs = run("dedup_ngram_jaccard").collect()
+    val matrix = run("dedup_cross_source").collect()
+    assert(matrix.map(_.getAs[Long]("dup_pairs")).sum === pairs.length.toLong,
+      "every near-dup pair lands in exactly one source cell")
+    matrix.foreach(r =>
+      assert(r.getAs[String]("src_lo") <= r.getAs[String]("src_hi"), "unordered pair key"))
+  }
+
+  test("sample_temperature_sources: rarest source keeps all, rates flatten") {
+    val rows = run("sample_temperature_sources").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("threshold") <= 1000000L)
+    }
+    val minRow = rows.minBy(_.getAs[Long]("n_docs"))
+    assert(minRow.getAs[Long]("threshold") === 1000000L, "rarest source threshold = 1")
+    assert(minRow.getAs[Long]("n_kept") === minRow.getAs[Long]("n_docs"),
+      "rarest source keeps every doc")
+    // thresholds are monotone non-increasing in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs")).map(_.getAs[Long]("threshold"))
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("layout_zorder: buckets tile the corpus into bounded rectangles") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n"),
+        (max("user_id") - min("user_id")).as("uspan"),
+        (max("cents") - min("cents")).as("cspan"))
+      .collect()(0)
+    val rows = run("layout_zorder").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === ev.getAs[Long]("n"),
+      "every event lands in exactly one z-bucket")
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("zbucket"); b >= 0 && b < 32
+    })
+    // top-5-bit buckets pin y's bits 15..13 and x's bits 15..14, so each
+    // bucket's rectangle spans at most ~1/8 of the cents range and ~1/4
+    // of the user range (plus normalization rounding slack)
+    val uspan = ev.getAs[Long]("uspan").toDouble
+    val cspan = ev.getAs[Long]("cspan").toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_user") - r.getAs[Long]("min_user") <= uspan / 4 * 1.1 + 2,
+        s"bucket ${r.getAs[Long]("zbucket")} user span unbounded")
+      assert(r.getAs[Long]("max_cents") - r.getAs[Long]("min_cents") <= cspan / 8 * 1.1 + 2,
+        s"bucket ${r.getAs[Long]("zbucket")} cents span unbounded")
+    }
+  }
+
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
     val exact = run("dedup_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap

@@ -40,8 +40,11 @@ class PlanAuditSpec extends SparkSpec {
       "events", "documents", "embeddings")
     // grouping keys with sf-independent domains: embedding geometry is
     // fixed by the model (64 dims, 8 subspaces, 16 centroids), not by
-    // corpus size
-    val fixedGeometry = Set("dim", "sub", "cent_id")
+    // corpus size; `source` is the pipeline's feed list — a bounded
+    // categorical like language (temperature re-weighting is only
+    // meaningful over a small source set whose thresholds one tunes),
+    // so a per-source aggregate is one row per feed, not per doc
+    val fixedGeometry = Set("dim", "sub", "cent_id", "source")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
       analyzed.foreach {
