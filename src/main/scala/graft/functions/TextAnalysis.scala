@@ -127,6 +127,41 @@ object TextAnalysis {
         .orderBy(desc("cnt"), col("pair"))
         .limit(50)),
 
+    // BPE TRAINING, two merge rounds unrolled — the loop a byte-level
+    // tokenizer trainer actually runs (text_bpe_pairs is one round's
+    // statistic; this EXECUTES the merges): count adjacent char pairs
+    // corpus-wide, merge the argmax pair everywhere (ties break on pair
+    // value; replace() is left-to-right non-overlapping in both
+    // engines, the BPE merge rule), recount over the merged corpus,
+    // merge again. Merged symbols are single marker chars ('A', 'B' —
+    // the corpus alphabet is lowercase + space, so no collision),
+    // keeping round-2 pair counting the same cheap 2-char substring
+    // scan as round 1. Per round: one narrow scan + one bounded
+    // aggregation (pair domain ≤ |alphabet|²) + one broadcast of the
+    // single argmax row — the distributed BPE step at any corpus size.
+    "text_bpe_train" -> ((s, dir) => {
+      def pairCounts(df: DataFrame): DataFrame = df
+        .filter(length(col("text")) >= 2)
+        .select(explode(sequence(lit(1),
+          least(length(col("text")) - 1, lit(8192)))).as("i"), col("text"))
+        .select(expr("substring(text, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val docs = Tables.documents(s, dir).select(col("text"))
+      val top1 = pairCounts(docs)
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .select(col("pair").as("p1"), col("cnt").as("c1"))
+      val merged = docs.crossJoin(broadcast(top1))
+        .select(expr("replace(text, p1, 'A')").as("text"))
+      val top2 = pairCounts(merged)
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .select(col("pair").as("p2"), col("cnt").as("c2"))
+      top1.select(lit(1L).as("round"), col("p1").as("merged_pair"),
+          col("c1").as("pair_count"))
+        .unionByName(top2.select(lit(2L).as("round"), col("p2").as("merged_pair"),
+          col("c2").as("pair_count")))
+        .orderBy("round")
+    }),
+
     // Benchmark decontamination: training docs sharing 3-gram shingles
     // with a deterministic "eval" subset (doc_id % 97 == 0) — the
     // n-gram-overlap contamination check every pretraining pipeline
@@ -247,6 +282,24 @@ object TextAnalysis {
         |FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
         |WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "text_bpe_train" ->
+      """WITH p1t AS (
+        |  SELECT substr(text, i, 2) AS pair, count(*) AS cnt
+        |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+        |  WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |d2 AS (SELECT replace(text, (SELECT pair FROM p1t), 'A') AS text
+        |       FROM documents),
+        |p2t AS (
+        |  SELECT substr(text, i, 2) AS pair, count(*) AS cnt
+        |  FROM d2, (SELECT unnest(generate_series(1, 8192)) AS i)
+        |  WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, pair AS merged_pair, cnt AS pair_count FROM p1t
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), pair, cnt FROM p2t
+        |ORDER BY round""".stripMargin,
 
     "dedup_decontaminate" ->
       s"""WITH ${graft.operators.Dedup.shingleCte},

@@ -25,6 +25,33 @@ object EventTime {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Funnel analysis view → click → purchase: per user, the earliest
+    // view, the earliest click within 1 hour AFTER it, the earliest
+    // purchase within 1 hour after that — the ordered-sequence-match
+    // product pipelines run constantly. Each stage is one aggregate on
+    // user_id plus an equi-join back (3 shuffles, all on the uniform
+    // user key); never a per-user sort of full histories.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def stage(tpe: String, prev: DataFrame, prevCol: String, outCol: String) =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol) &&
+            col("ts") <= col(prevCol) + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min("ts").as(outCol))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = stage("click", s1, "t1", "t2")
+      val s3 = stage("purchase", s2, "t2", "t3")
+      s1.agg(count(lit(1)).as("users")).select(lit(1L).as("stage"),
+          lit("view").as("step"), col("users"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .select(lit(2L).as("stage"), lit("click").as("step"), col("users")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .select(lit(3L).as("stage"), lit("purchase").as("step"), col("users")))
+        .orderBy("stage")
+    }),
+
     // Tumbling 1-hour windows per event_type.
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -81,6 +108,26 @@ object EventTime {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, count(*) AS users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
     "events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n,

@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     // predicates / fixed centroid sets over embeddings) are checked
     // structurally: a filter on the key must sit between hint and scan.
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val bounded = Set("nation", "region")
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
             f.condition.references.exists(_.name == "vec_id") &&
               f.condition.exists { case _: Literal => true; case _ => false }
           }
-          val ok = leafTables.subsetOf(bounded) || aggOk ||
+          // a top-level LIMIT k caps the hinted side at k rows at any
+          // scale factor (the argmax / top-k broadcast pattern)
+          val limitOk = h.child.collectFirst { case l: GlobalLimit => l }.isDefined
+          val ok = leafTables.subsetOf(bounded) || aggOk || limitOk ||
             (filterOk && leafTables.subsetOf(Set("embeddings")))
           assert(ok, s"$name forces a broadcast hint on sf-scaling " +
             s"table(s) ${leafTables.intersect(scaling)} with no bounding reduction")

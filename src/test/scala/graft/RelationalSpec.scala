@@ -10,6 +10,34 @@ class RelationalSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
+  test("events_funnel: stages shrink monotonically from the view cohort") {
+    import graft.core.Tables
+    val rows = run("events_funnel").collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[Long]("stage")).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[String]("step")).toSeq === Seq("view", "click", "purchase"))
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(users(0) >= users(1) && users(1) >= users(2), s"funnel widened: ${users.toSeq}")
+    val viewers = Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(users(0) === viewers, "stage 1 is exactly the distinct view cohort")
+  }
+
+  test("text_bpe_train: round-1 merge is the corpus argmax, round 2 can't beat it") {
+    val train = run("text_bpe_train").collect().sortBy(_.getAs[Long]("round"))
+    assert(train.length === 2)
+    val topPair = run("text_bpe_pairs").collect()
+      .maxBy(r => (r.getAs[Long]("cnt"), r.getAs[String]("pair")))
+    // same ordering as the query: count desc, pair asc — head of the list
+    val head = run("text_bpe_pairs").collect().head
+    assert(train(0).getAs[String]("merged_pair") === head.getAs[String]("pair"))
+    assert(train(0).getAs[Long]("pair_count") === head.getAs[Long]("cnt"))
+    // merging only removes occurrences; every post-merge pair count is
+    // bounded by the round-1 maximum
+    assert(train(1).getAs[Long]("pair_count") <= train(0).getAs[Long]("pair_count"))
+    assert(topPair.getAs[Long]("cnt") === train(0).getAs[Long]("pair_count"))
+  }
+
   test("scan_pushdown pushes the filter to the parquet scan") {
     val df = run("scan_pushdown")
     val plan = df.queryExecution.executedPlan.toString
