@@ -100,6 +100,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Classifier evaluation — the confusion matrix of the heuristic
+    // langid against the corpus's gold `lang` labels: the measurement
+    // loop every pipeline filter needs before it gates data (a filter
+    // whose precision you haven't measured is a silent corpus bias).
+    // One narrow projection + one bounded aggregation (|langs|² cells).
+    "text_langid_eval" -> ((s, dir) => {
+      val en = hitCount(col("text"), StopEn)
+      val es = hitCount(col("text"), StopEs)
+      val de = hitCount(col("text"), StopDe)
+      val fr = hitCount(col("text"), StopFr)
+      val m = greatest(en, es, de, fr)
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          when(en === m, "en").when(es === m, "es").when(de === m, "de")
+            .otherwise("fr").as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    }),
+
     // Composite quality score in [0,1]: stopword share + length credit
     // (capped at 100 tokens) + cleanliness. Typical pre-training filter.
     "text_quality" -> ((s, dir) => {
@@ -270,6 +289,19 @@ object TextAnalysis {
          |            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
          |            ELSE 'fr' END AS lang_guess
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_langid_eval" ->
+      s"""WITH h AS (SELECT lang,
+         |       ${sqlHits(StopEn)} AS hits_en, ${sqlHits(StopEs)} AS hits_es,
+         |       ${sqlHits(StopDe)} AS hits_de, ${sqlHits(StopFr)} AS hits_fr
+         |  FROM documents)
+         |SELECT lang,
+         |       CASE WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |            WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |            ELSE 'fr' END AS lang_guess,
+         |       count(*) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

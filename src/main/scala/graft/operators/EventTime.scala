@@ -52,6 +52,29 @@ object EventTime {
         .orderBy("stage")
     }),
 
+    // Cohort retention matrix: users grouped by signup day, counted as
+    // active k days later — the other staple of product/event analytics
+    // next to the funnel. One aggregate to pin each user's cohort, one
+    // distinct + aggregate over (cohort, offset); both shuffles on the
+    // uniform user/date keys, output bounded at cohorts × horizon.
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohort, "user_id")
+        .filter(col("day") >= col("cohort_day"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Tumbling 1-hour windows per event_type.
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -108,6 +131,20 @@ object EventTime {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT c.cohort_day,
+        |         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |         e.user_id
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE CAST(e.ts AS DATE) >= c.cohort_day)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+        |       count(*) AS active_users
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -38,6 +38,40 @@ class RelationalSpec extends SparkSpec {
     assert(topPair.getAs[Long]("cnt") === train(0).getAs[Long]("pair_count"))
   }
 
+  test("events_retention: day-0 cohorts cover every signup user exactly once") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    val rows = run("events_retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0))
+    // the signup event itself is day-0 activity, so day-0 cells partition
+    // the signup cohort
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("active_users")).sum
+    val signups = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(day0 === signups, s"day-0 total $day0 != signup cohort $signups")
+    // retention never exceeds its cohort's day-0 size
+    val day0ByCohort = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[String]("cohort_day") -> r.getAs[Long]("active_users")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") <=
+        day0ByCohort(r.getAs[String]("cohort_day")), r.toString)
+    }
+  }
+
+  test("text_langid_eval: confusion matrix totals the corpus") {
+    import graft.core.Tables
+    val rows = run("text_langid_eval").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.documents(spark, sf0001).count())
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    assert(langs.length >= 2, "gold labels collapsed")
+    assert(rows.forall(r => Set("en", "es", "de", "fr")
+      .contains(r.getAs[String]("lang_guess"))))
+  }
+
   test("scan_pushdown pushes the filter to the parquet scan") {
     val df = run("scan_pushdown")
     val plan = df.queryExecution.executedPlan.toString
