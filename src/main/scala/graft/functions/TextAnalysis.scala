@@ -56,6 +56,46 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------------
 
+  /** N-round BPE training loop — the general form of the oracle-checked
+    * two-round `text_bpe_train` query. Each round: count adjacent char
+    * pairs corpus-wide, pick the argmax (count desc, pair asc), merge it
+    * everywhere (replace() = the left-to-right non-overlapping BPE merge
+    * rule), and continue on the merged corpus. Merged symbols come from
+    * the Unicode private-use area (U+E000+i), so any round count works on
+    * any lowercase corpus. Per round: one narrow scan, one bounded
+    * aggregation, ONE single-row driver fetch (the argmax — same bounded
+    * driver action as an iterative fixpoint's convergence count), and a
+    * localCheckpoint lineage cut so round N's plan doesn't replay rounds
+    * 1..N-1's replaces from scratch.
+    *
+    * Returns (round, merged_pair, pair_count) for rounds 1..n.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): Seq[(Int, String, Long)] = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds out of range: $rounds")
+    var corpus = docs.select(col("text")).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = corpus
+        .filter(length(col("text")) >= 2)
+        .select(explode(sequence(lit(1),
+          least(length(col("text")) - 1, lit(8192)))).as("i"), col("text"))
+        .select(expr("substring(text, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) return merges.result()
+      val pair = top(0).getAs[String]("pair")
+      val cnt = top(0).getAs[Long]("cnt")
+      merges += ((r, pair, cnt))
+      val marker = (0xE000 + (r - 1)).toChar.toString
+      corpus = corpus
+        .select(regexp_replace(col("text"),
+          java.util.regex.Pattern.quote(pair), marker).as("text"))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -146,7 +186,8 @@ object TextAnalysis {
         .orderBy(desc("cnt"), col("pair"))
         .limit(50)),
 
-    // BPE TRAINING, two merge rounds unrolled — the loop a byte-level
+    // BPE TRAINING, two merge rounds unrolled (the oracle replays both;
+    // the N-round library loop is [[bpeTrain]]) — the loop a byte-level
     // tokenizer trainer actually runs (text_bpe_pairs is one round's
     // statistic; this EXECUTES the merges): count adjacent char pairs
     // corpus-wide, merge the argmax pair everywhere (ties break on pair

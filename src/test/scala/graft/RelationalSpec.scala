@@ -72,6 +72,25 @@ class RelationalSpec extends SparkSpec {
       .contains(r.getAs[String]("lang_guess"))))
   }
 
+  test("bpeTrain generalizes the registered query to N rounds") {
+    import graft.core.Tables
+    import graft.functions.TextAnalysis
+    val merges = TextAnalysis.bpeTrain(Tables.documents(spark, sf0001), 4)
+    assert(merges.length === 4)
+    assert(merges.map(_._1) === Seq(1, 2, 3, 4))
+    // each merge removes that round's argmax, so the max can only shrink
+    val counts = merges.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.toString)
+    assert(merges.map(_._2).distinct.length === 4, "merged pairs must be distinct")
+    // first two rounds agree with the oracle-checked unrolled query
+    // (markers differ — query uses 'A', library uses U+E000 — so compare
+    // pairs with the round-1 marker normalized)
+    val unrolled = run("text_bpe_train").collect().sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("merged_pair").replace('A', ''),
+        r.getAs[Long]("pair_count")))
+    assert(merges.take(2).map(m => (m._2, m._3)) === unrolled.toSeq)
+  }
+
   test("scan_pushdown pushes the filter to the parquet scan") {
     val df = run("scan_pushdown")
     val plan = df.queryExecution.executedPlan.toString
