@@ -82,7 +82,30 @@ object Graph {
     "graph_power_rank" -> ((s, dir) =>
       powerIterate(tradeEdges(s, dir), 3)
         .select(col("node"), col("r"))
-        .orderBy("node"))
+        .orderBy("node")),
+
+    // Per-node triangle counts via ORIENTED edge enumeration — the
+    // clustering-coefficient / community-density primitive. Edges are
+    // canonicalized low < high, wedges built by one self-join on the
+    // middle vertex (a<b ⋈ b<c gives a<b<c, so each triangle is
+    // enumerated exactly once), closed by a left-semi probe on (a, c).
+    // At scale the standard refinement is ranking vertices by DEGREE
+    // before orienting, which bounds every node's wedge fan-out by its
+    // out-degree in the oriented graph (≤ O(√m) for the heavy nodes);
+    // the shape — one self-join + one semi-join, all equi-keyed — is
+    // identical, and lexicographic orientation suffices for this graph.
+    "graph_triangles" -> ((s, dir) => {
+      val und = tradeEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val wedges = und.join(und.select(col("a").as("b"), col("b").as("c")), "b")
+      val tris = wedges.join(und.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+        .orderBy("node")
+    })
   )
 
   private val edgeCte =
@@ -114,6 +137,20 @@ object Graph {
          |${roundCte(1)},
          |${roundCte(2)},
          |${roundCte(3)}
-         |SELECT node, r FROM r3 ORDER BY node""".stripMargin
+         |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $edgeCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |tri AS (
+         |  SELECT w.a, w.b, w.c
+         |  FROM (SELECT e1.a, e1.b, e2.b AS c
+         |        FROM und e1 JOIN und e2 ON e1.b = e2.a) w
+         |  WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = w.a AND u.b = w.c)),
+         |nodes AS (SELECT a AS node FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS triangles
+         |FROM nodes GROUP BY 1 ORDER BY node""".stripMargin
   )
 }

@@ -24,6 +24,27 @@ class GraphSamplingSpec extends SparkSpec {
     assert(r2 === Map("c" -> 6L))
   }
 
+  test("graph_triangles matches a brute-force enumeration of the trade graph") {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val und = graft.operators.Graph.tradeEdges(spark, sf0001)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // brute-force: 25 nations, trivially enumerable driver-side IN A TEST
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      ai <- nodes.indices; bi <- (ai + 1) until nodes.length
+      ci <- (bi + 1) until nodes.length
+      a = nodes(ai); b = nodes(bi); c = nodes(ci)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+    val got = SparkEntry.queries("graph_triangles")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("triangles")).toMap
+    assert(got === expected.toMap, "per-node triangle counts diverge from brute force")
+  }
+
   test("trade graph power rank is stable across runs and nonempty") {
     val a = Graph.queries("graph_power_rank")(spark, sf0001).collect()
     val b = Graph.queries("graph_power_rank")(spark, sf0001).collect()
