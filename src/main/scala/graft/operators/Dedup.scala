@@ -343,38 +343,8 @@ object Dedup {
     * of the tokenize+window pipeline dominated their cost. This is the
     * local analogue of checkpointing the inverted index before LSH at
     * cluster scale. */
-  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  // Purge every stage dir when the JVM exits so repeated sessions /
-  // long test runs don't accumulate graft-stage-* temp dirs on disk.
-  sys.addShutdownHook {
-    stagedDirs.values.foreach { d =>
-      try {
-        import java.nio.file.{Files, Paths}
-        import scala.jdk.CollectionConverters._
-        val root = Paths.get(d)
-        if (Files.exists(root))
-          Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }
-    }
-  }
-  // Stable unique id per session, minted once into the session-local
-  // runtime conf — hashCode can collide and doesn't identify a session.
-  private def sessionId(s: SparkSession): String = synchronized {
-    val k = "graft.stage.session.id"
-    s.conf.getOption(k).getOrElse {
-      val id = java.util.UUID.randomUUID().toString
-      s.conf.set(k, id)
-      id
-    }
-  }
-  private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val stage = stagedDirs.getOrElseUpdate(sessionId(s) + "|" + key, {
-      val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
-      build.write.mode("overwrite").parquet(d)
-      d
-    })
-    s.read.parquet(stage)
-  }
+  private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    graft.core.Staged(s, key)(build)
   def stagedShingles(s: SparkSession, dir: String): DataFrame =
     staged(s, dir)(shingles(Tables.documents(s, dir)))
   /** Prefix index staged like the shingle index: the candidate self-join
