@@ -96,6 +96,19 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Corpus-wide adjacent char-pair counts staged once per session: the
+    * pair-statistic query and BPE training's first round aggregate the
+    * identical table (≤ |alphabet|² rows out of a full corpus scan). */
+  def stagedPairCounts(s: SparkSession, dir: String): DataFrame =
+    graft.core.Staged(s, s"$dir|bpePairs") {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(explode(sequence(lit(1),
+          least(length(col("text")) - 1, lit(8192)))).as("i"), col("text"))
+        .select(expr("substring(text, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -173,16 +186,10 @@ object TextAnalysis {
     // pair counts (the statistic each merge step of byte-pair-encoding
     // tokenizer training maximizes). One narrow explode pass + one hash
     // aggregate; top-50 by count with a deterministic tiebreak.
+    // Pair fan-out bounded to the first 8 KiB per doc, matching the
+    // oracle's generate_series cap; counts read from the staged table.
     "text_bpe_pairs" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .filter(length(col("text")) >= 2)
-        // bounded to the first 8 KiB per doc, matching the oracle's
-        // generate_series cap — and bounding per-row fan-out at scale
-        .select(explode(sequence(lit(1),
-          least(length(col("text")) - 1, lit(8192)))).as("i"), col("text"))
-        .select(expr("substring(text, i, 2)").as("pair"))
-        .groupBy("pair")
-        .agg(count(lit(1)).as("cnt"))
+      stagedPairCounts(s, dir)
         .orderBy(desc("cnt"), col("pair"))
         .limit(50)),
 
@@ -207,7 +214,9 @@ object TextAnalysis {
         .select(expr("substring(text, i, 2)").as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
       val docs = Tables.documents(s, dir).select(col("text"))
-      val top1 = pairCounts(docs)
+      // round 1's counts come from the staged pair table (shared with
+      // text_bpe_pairs); round 2 must rescan — its corpus is merged
+      val top1 = stagedPairCounts(s, dir)
         .orderBy(desc("cnt"), col("pair")).limit(1)
         .select(col("pair").as("p1"), col("cnt").as("c1"))
       val merged = docs.crossJoin(broadcast(top1))
