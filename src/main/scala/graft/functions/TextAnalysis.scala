@@ -109,6 +109,27 @@ object TextAnalysis {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
     }
 
+  /** Per-doc stopword hit counts staged once per session: the langid
+    * query and its confusion-matrix eval both start from this table (a
+    * 6-column projection out of a full text scan with 4 token-filter
+    * passes). */
+  def stagedLangHits(s: SparkSession, dir: String): DataFrame =
+    graft.core.Staged(s, s"$dir|langHits") {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        hitCount(col("text"), StopEn).as("hits_en"),
+        hitCount(col("text"), StopEs).as("hits_es"),
+        hitCount(col("text"), StopDe).as("hits_de"),
+        hitCount(col("text"), StopFr).as("hits_fr"))
+    }
+
+  /** first-wins argmax over the staged hit columns (en > es > de > fr). */
+  private def langGuess: Column = {
+    val m = greatest(col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr"))
+    when(col("hits_en") === m, "en").when(col("hits_es") === m, "es")
+      .when(col("hits_de") === m, "de").otherwise("fr")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) =>
@@ -138,39 +159,22 @@ object TextAnalysis {
 
     // Stopword-hit language ID with deterministic greatest/first-wins
     // tie-break (en > es > de > fr).
-    "text_langid" -> ((s, dir) => {
-      val en = hitCount(col("text"), StopEn)
-      val es = hitCount(col("text"), StopEs)
-      val de = hitCount(col("text"), StopDe)
-      val fr = hitCount(col("text"), StopFr)
-      val m = greatest(en, es, de, fr)
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          en.as("hits_en"), es.as("hits_es"), de.as("hits_de"), fr.as("hits_fr"),
-          when(en === m, "en").when(es === m, "es").when(de === m, "de")
-            .otherwise("fr").as("lang_guess"))
-        .orderBy("doc_id")
-    }),
+    "text_langid" -> ((s, dir) =>
+      stagedLangHits(s, dir)
+        .select(col("doc_id"), col("hits_en"), col("hits_es"),
+          col("hits_de"), col("hits_fr"), langGuess.as("lang_guess"))
+        .orderBy("doc_id")),
 
     // Classifier evaluation — the confusion matrix of the heuristic
     // langid against the corpus's gold `lang` labels: the measurement
     // loop every pipeline filter needs before it gates data (a filter
     // whose precision you haven't measured is a silent corpus bias).
     // One narrow projection + one bounded aggregation (|langs|² cells).
-    "text_langid_eval" -> ((s, dir) => {
-      val en = hitCount(col("text"), StopEn)
-      val es = hitCount(col("text"), StopEs)
-      val de = hitCount(col("text"), StopDe)
-      val fr = hitCount(col("text"), StopFr)
-      val m = greatest(en, es, de, fr)
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          when(en === m, "en").when(es === m, "es").when(de === m, "de")
-            .otherwise("fr").as("lang_guess"))
+    "text_langid_eval" -> ((s, dir) =>
+      stagedLangHits(s, dir)
+        .select(col("lang"), langGuess.as("lang_guess"))
         .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_guess")
-    }),
+        .orderBy("lang", "lang_guess")),
 
     // Composite quality score in [0,1]: stopword share + length credit
     // (capped at 100 tokens) + cleanliness. Typical pre-training filter.
