@@ -165,6 +165,31 @@ object TextAnalysis {
           col("hits_de"), col("hits_fr"), langGuess.as("lang_guess"))
         .orderBy("doc_id")),
 
+    // Unigram-surprisal quality score — the LM-perplexity-filter shape
+    // (CCNet-style) with EXACT integer arithmetic: each token's
+    // surprisal bucket is bitlen(N) - bitlen(count(w)) ≈ log2(N/count),
+    // computed as binary-string lengths (identical in both engines, no
+    // floating log whose last ulp could diverge). High avg bucket =
+    // rare-token-heavy (gibberish or OOD), low = stopword soup; the
+    // cheap proxy a pipeline runs when a real LM is too expensive.
+    // One token shuffle for the unigram table, one join back on the
+    // (uniform) token key, one per-doc aggregate.
+    "text_surprisal" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val cnts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(cnts, "w").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long").as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("s").as("surprisal_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_sum"),
+          floor(col("surprisal_sum").cast("double") / col("n_tokens")).cast("long")
+            .as("avg_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Classifier evaluation — the confusion matrix of the heuristic
     // langid against the corpus's gold `lang` labels: the measurement
     // loop every pipeline filter needs before it gates data (a filter
@@ -343,6 +368,19 @@ object TextAnalysis {
          |            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
          |            ELSE 'fr' END AS lang_guess
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(length(bin(tot.n_total)) - length(bin(cnts.cnt))) AS BIGINT)
+        |         AS surprisal_sum,
+        |       CAST(floor(CAST(sum(length(bin(tot.n_total)) - length(bin(cnts.cnt))) AS DOUBLE)
+        |         / count(*)) AS BIGINT) AS avg_bucket
+        |FROM toks JOIN cnts USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid_eval" ->
       s"""WITH h AS (SELECT lang,

@@ -528,6 +528,20 @@ object Dedup {
         .orderBy("src_lo", "src_hi")
     }),
 
+    // Shingle document-frequency histogram (log2 buckets) — the corpus
+    // profile that JUSTIFIES the df-cap: bucket b holds shingles with
+    // df in [2^(b-1), 2^b), and n_postings shows how much of the
+    // inverted index (and hence O(Σ df²) candidate blowup) each bucket
+    // carries. Buckets come from binary-string length — exact integer
+    // log2 in both engines. Reads the staged shingle index; output is
+    // bounded at ~60 rows regardless of corpus size.
+    "doc_shingle_profile" -> ((s, dir) =>
+      stagedShingles(s, dir)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+        .orderBy("df_bucket")),
+
     // Per-doc 32-bit simhash fingerprint.
     "dedup_simhash" -> ((s, dir) =>
       stagedSimhash(s, dir).orderBy("doc_id")),
@@ -726,6 +740,14 @@ object Dedup {
          |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_shingle_profile" ->
+      s"""WITH $shingleCte,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(df) AS BIGINT) AS n_postings
+         |FROM dfs GROUP BY 1 ORDER BY df_bucket""".stripMargin,
 
     "dedup_cross_source" ->
       s"""WITH $shingleCte,

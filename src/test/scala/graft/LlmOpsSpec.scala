@@ -211,6 +211,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_shingle_profile: log2 buckets partition the inverted index") {
+    val rows = run("doc_shingle_profile").collect()
+    assert(rows.nonEmpty)
+    val postings = rows.map(_.getAs[Long]("n_postings")).sum
+    assert(postings === Dedup.stagedShingles(spark, sf0001).count(),
+      "bucket postings must sum to the full inverted index")
+    assert(rows.forall(_.getAs[Long]("df_bucket") >= 1))
+    // n_shingles per bucket never exceeds its postings (df >= 1)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_shingles") <= r.getAs[Long]("n_postings")))
+  }
+
+  test("text_surprisal: buckets bounded by corpus bit-length, one row per doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = run("text_surprisal").collect()
+    assert(rows.length === docs.count())
+    val nTotal = rows.map(_.getAs[Long]("n_tokens")).sum
+    val maxBucket = 64 - java.lang.Long.numberOfLeadingZeros(nTotal)
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_bucket")
+      assert(avg >= 0 && avg <= maxBucket, s"bucket $avg outside [0, $maxBucket]")
+      assert(r.getAs[Long]("surprisal_sum") >= 0)
+    }
+  }
+
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
     val exact = run("dedup_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
