@@ -39,6 +39,33 @@ object Pipeline {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
         .orderBy("split", "lang")
+    }),
+
+    // Sequence PACKING — the canonical pretraining data-prep step:
+    // concatenate documents into fixed-length training sequences
+    // (L = 512 tokens) and report per-sequence fill. Packing is
+    // inherently ordered, so it runs inside bounded (lang, doc_id % 64)
+    // pack groups: the running token offset is a window cumsum WITHIN a
+    // group — groups are uniform hash buckets, so every window sort is
+    // small and parallel, never a global single-partition sort (the
+    // scale trap of naive packing). A doc's sequence is the one its
+    // start offset falls in (the streaming-packer rule; straddling docs
+    // spill into the next sequence). Deterministic: doc_id order inside
+    // groups, integer token counts, integer division.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val L = 512
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(64L)))
+      val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      docs
+        .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+        .withColumn("seq_id",
+          floor(col("start_off").cast("double") / L).cast("long"))
+        .groupBy("lang", "bucket", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("lang", "bucket", "seq_id")
     })
   )
 
@@ -58,6 +85,22 @@ object Pipeline {
          |    FROM kept) WHERE rk = 1)
          |SELECT CASE WHEN $bucketSql < 90 THEN 'train' ELSE 'val' END AS split,
          |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-         |FROM canon GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+         |FROM canon GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         doc_id % 64 AS bucket
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, lang, bucket, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang, bucket ORDER BY doc_id)
+        |           - n_tok AS start_off
+        |  FROM docs)
+        |SELECT lang, bucket,
+        |       CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM off GROUP BY 1, 2, 3 ORDER BY lang, bucket, seq_id""".stripMargin
   )
 }

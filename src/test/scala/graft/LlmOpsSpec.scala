@@ -236,6 +236,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_pack_sequences conserves tokens and starts every group at seq 0") {
+    val rows = run("pipeline_pack_sequences").collect()
+    assert(rows.nonEmpty)
+    val packed = rows.map(_.getAs[Long]("sum_tokens")).sum
+    val corpus = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.sum(
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(packed === corpus, "packing must conserve every token")
+    assert(rows.forall(_.getAs[Long]("seq_id") >= 0))
+    // the first doc of every pack group starts at offset 0 → sequence 0
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")))
+      .foreach { case (g, rs) =>
+        assert(rs.map(_.getAs[Long]("seq_id")).min === 0L, s"group $g misses seq 0")
+      }
+  }
+
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
     val exact = run("dedup_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
