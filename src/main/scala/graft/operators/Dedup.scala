@@ -479,6 +479,38 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Estimator calibration — MinHash agreement (the estimate an LSH
+    // pipeline ranks by) side by side with exact Jaccard for every LSH
+    // candidate pair that shares a shingle: E[agreement/16] = J, and
+    // seeing both columns is how an operator picks signature width and
+    // band shape for a target corpus. All inputs staged; the only new
+    // work is one 16-column comparison per candidate.
+    "dedup_minhash_est" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val sigs = stagedMinhashSigs(s, dir)
+      val bands = lshBands(sigs)
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+      val agree = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(agree.cast("double") / NumHashes, 6).as("est_jaccard"))
+      est.join(jaccardBySets(cand, sh)
+          .filter(col("jaccard") > 0)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+        Seq("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Asymmetric CONTAINMENT dedup: C(a ⊆ b) = |A∩B| / |A| — catches a
     // doc whose shingles are mostly inside a LARGER doc (quote blocks,
     // boilerplate wrappers, truncated re-crawls), which symmetric
@@ -813,6 +845,35 @@ object Dedup {
          |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_minhash_est" ->
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band, CASE b.band ${(0 until Bands).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+         |  FROM (SELECT doc_id, $bandSigs FROM sigs),
+         |       (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+         |            AND l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |         round(CAST(${(0 until NumHashes).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+         |  FROM cand JOIN sigs a ON cand.doc_a = a.doc_id
+         |            JOIN sigs b ON cand.doc_b = b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT est.doc_a, est.doc_b, est.est_jaccard,
+         |       round(CAST(shared AS DOUBLE) / (ca.c + cb.c - shared), 6) AS jaccard
+         |FROM est JOIN shared ON est.doc_a = shared.doc_a AND est.doc_b = shared.doc_b
+         |         JOIN cnt ca ON est.doc_a = ca.doc_id
+         |         JOIN cnt cb ON est.doc_b = cb.doc_id
+         |ORDER BY est.doc_a, est.doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,

@@ -253,6 +253,20 @@ class LlmOpsSpec extends SparkSpec {
       }
   }
 
+  test("dedup_minhash_est: signature agreement tracks exact jaccard") {
+    val rows = run("dedup_minhash_est").collect()
+    assert(rows.nonEmpty, "LSH produced no candidate pairs to calibrate on")
+    val errs = rows.map(r =>
+      math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard")))
+    // 16 hashes ⇒ per-pair std ≤ sqrt(J(1-J)/16) ≤ 0.125; the mean
+    // absolute error across pairs must sit well inside that
+    assert(errs.sum / errs.length <= 0.2,
+      s"mean |est - exact| = ${errs.sum / errs.length} — estimator broken")
+    assert(rows.forall { r =>
+      val e = r.getAs[Double]("est_jaccard"); e >= 0.0 && e <= 1.0
+    })
+  }
+
   test("minhash LSH finds the high-jaccard pairs the exact scan finds") {
     val exact = run("dedup_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
