@@ -35,7 +35,12 @@ object SparkEntry {
       // declarative events_session — the custom stateful op must agree
       // with the SQL formulation.
       "sessionize_stateful" -> ((s: SparkSession, dir: String) =>
-        Sessionize.sessionizeBatch(Tables.events(s, dir)))
+        Sessionize.sessionizeBatch(Tables.events(s, dir))),
+      // second O14 analogue: typed per-user funnel state machine; same
+      // oracle as the declarative events_funnel — the custom stateful op
+      // must agree with the three-aggregate SQL formulation.
+      "funnel_stateful" -> ((s: SparkSession, dir: String) =>
+        graft.streaming.Funnel.funnelBatch(Tables.events(s, dir)))
     )
 
   def oracleSql: Map[String, String] =
@@ -44,6 +49,7 @@ object SparkEntry {
       Multimodal.oracles ++ AsOf.oracles ++ Sketches.oracles ++
       Graph.oracles ++ Sampling.oracles ++ Clustering.oracles ++
       Pipeline.oracles ++ Layout.oracles ++ Map(
-      "sessionize_stateful" -> EventTime.oracles("events_session")
+      "sessionize_stateful" -> EventTime.oracles("events_session"),
+      "funnel_stateful" -> EventTime.oracles("events_funnel")
     )
 }

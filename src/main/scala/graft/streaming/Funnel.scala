@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed per-user funnel state machine — the second O14-style stateful
+  * operator next to [[Sessionize]]: arbitrary user code folding one
+  * user's event history into funnel progress (first view, first
+  * qualifying click within an hour, first qualifying purchase within an
+  * hour of that). Declaratively the same computation is three user-keyed
+  * aggregates (graft.operators.EventTime `events_funnel`, the
+  * oracle-checked twin); the typed fold is the shape a caller reaches
+  * for when step rules stop being expressible as joins (arbitrary
+  * predicates, per-step branching).
+  *
+  * Scale: per-user history sorts inside the group — fine for bounded
+  * per-key cardinality, exactly like the reference's stateful bolt;
+  * unbounded keys should use the declarative twin. Streaming: the same
+  * transition function runs under mapGroupsWithState with per-user
+  * FunnelState surviving across micro-batches.
+  */
+object Funnel {
+
+  case class Ev(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  val StepMs: Long = 60 * 60 * 1000L
+  private val Unset = -1L
+
+  /** Advance funnel state through one user's time-ordered events. */
+  private[streaming] def advance(init: FunnelState, evs: Iterator[Ev]): FunnelState = {
+    var s = init
+    for (e <- evs) {
+      val t = e.ts.getTime
+      if (s.t1 == Unset) {
+        if (e.event_type == "view") s = s.copy(t1 = t)
+      } else if (s.t2 == Unset) {
+        if (e.event_type == "click" && t > s.t1 && t <= s.t1 + StepMs) s = s.copy(t2 = t)
+      } else if (s.t3 == Unset) {
+        if (e.event_type == "purchase" && t > s.t2 && t <= s.t2 + StepMs) s = s.copy(t3 = t)
+      }
+    }
+    s
+  }
+
+  private def stageOf(s: FunnelState): Int =
+    if (s.t3 != Unset) 3 else if (s.t2 != Unset) 2 else if (s.t1 != Unset) 1 else 0
+
+  /** Batch run: fold every user's full history, aggregate to the same
+    * (stage, step, users) shape as the declarative `events_funnel` —
+    * the oracle checks the two agree. */
+  def funnelBatch(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val stages = events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(_.ts.getTime).iterator
+        (uid, stageOf(advance(FunnelState(Unset, Unset, Unset), sorted)))
+      }
+      .toDF("user_id", "stage")
+    val counts = stages.agg(
+      sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n3"))
+    counts.select(lit(1L).as("stage"), lit("view").as("step"), col("n1").as("users"))
+      .unionByName(counts.select(lit(2L).as("stage"), lit("click").as("step"),
+        col("n2").as("users")))
+      .unionByName(counts.select(lit(3L).as("stage"), lit("purchase").as("step"),
+        col("n3").as("users")))
+      .orderBy("stage")
+  }
+
+  private def updateFn(uid: Long, events: Iterator[Ev],
+                       state: GroupState[FunnelState]): (Long, Int) = {
+    val sorted = events.toArray.sortBy(_.ts.getTime).iterator
+    val next = advance(state.getOption.getOrElse(FunnelState(Unset, Unset, Unset)), sorted)
+    state.update(next)
+    (uid, stageOf(next))
+  }
+
+  /** Streaming run: per-user FunnelState survives across micro-batches;
+    * update mode emits each user's current stage per trigger. Caveat the
+    * transition function inherits from event order: within a trigger
+    * events sort by event time, across triggers the source must deliver
+    * in order (true for the file-per-batch ingest shape) — out-of-order
+    * ARRIVAL across triggers needs a watermark-buffered variant. */
+  def funnelStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, (Long, Int)](GroupStateTimeout.NoTimeout)(updateFn)
+      .toDF("user_id", "stage")
+  }
+}

@@ -137,6 +137,29 @@ class StreamingSpec extends SparkSpec {
     assert(stateful === declarative)
   }
 
+  test("stateful funnel ≡ declarative funnel, batch and streaming") {
+    // batch typed state machine vs the three-aggregate SQL formulation
+    val stateful = SparkEntry.queries("funnel_stateful")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("users")).toMap
+    val declarative = EventTime.queries("events_funnel")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("users")).toMap
+    assert(stateful === declarative)
+
+    // streaming: per-user FunnelState under mapGroupsWithState reaches
+    // the same final stages over a one-batch parquet stream
+    val batchEvents = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-funnel-in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val got = Streams.runToCompletion(spark,
+      graft.streaming.Funnel.funnelStream(streamed), "funnel_stream", mode = "update")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wantByStage = (1 to 3).map(k =>
+      k.toLong -> got.values.count(_ >= k).toLong).toMap
+    assert(wantByStage === declarative,
+      s"stream stages $wantByStage vs declarative $declarative")
+  }
+
   test("event-time queries return rows and match shapes at sf0.001") {
     for (name <- EventTime.queries.keys)
       assert(SparkEntry.queries(name)(spark, sf0001).count() > 0, s"$name empty")
