@@ -88,6 +88,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing windows partition on the pack group, never globally") {
+    val p = plan("pipeline_pack_sequences")
+    // the cumsum window must run per (lang, bucket) hash partition; a
+    // global single-partition window is the naive-packing scale trap
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+    val windowSection = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windowSection.contains("SinglePartition"),
+      s"packing window runs on a single partition:\n$windowSection")
+  }
+
   test("aggregations run partial+final hash aggregation") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
