@@ -149,6 +149,54 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // TPC-H Q9-style product profit by nation × order year, adapted to
+    // this schema (no partsupp table, so no supply-cost term): revenue
+    // for parts matching a name substring. Plan shape preserved — the
+    // 5-way join with a selective dimension filter that must reach the
+    // part scan, one fact-fact shuffle on orderkey, year extraction in
+    // the aggregate key.
+    "q9_profit_proxy" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey")
+      Tables.lineitem(s, dir)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(rsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q20-style potential-promotion suppliers, adapted (no
+    // partsupp availqty): suppliers that shipped more than 100 units of
+    // name-matched parts in 1996 — the semi-join-chain shape (part →
+    // lineitem aggregate → HAVING → supplier semi-join) that Q20's
+    // nested IN subqueries plan into.
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val shippers = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100)
+        .select("l_suppkey")
+      Tables.supplier(s, dir)
+        .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q10-style: revenue lost to returned items per customer.
     // Fact-fact join shuffles once on orderkey; nation is hinted
     // (bounded), customer is planner-decided (grows with sf).
@@ -815,6 +863,30 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q9_profit_proxy" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q20_promo_suppliers" ->
+      """WITH shippers AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM shippers)
+        |ORDER BY s_name""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
