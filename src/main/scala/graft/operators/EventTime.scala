@@ -75,6 +75,35 @@ object EventTime {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Integer-exact 2σ outlier detection per event_type — the anomaly
+    // gate a monitoring pipeline runs, with NO floating point anywhere:
+    // value becomes cents, and (v − μ > 2σ) is tested as the equivalent
+    // integer inequality (n·v − S)² > 4·(n·Q − S²) where S = Σv,
+    // Q = Σv² (both exact decimal sums). Both engines therefore agree
+    // bit-for-bit — a double mean/stddev would be partition-order
+    // dependent. One stats aggregate per type (broadcast, |types| rows),
+    // one narrow flag pass, one count.
+    "events_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 0))).as("q"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("lhs",
+          (col("n").cast(DecimalType(38, 0)) * col("v") - col("s")) *
+            (col("n").cast(DecimalType(38, 0)) * col("v") - col("s")))
+        .withColumn("rhs",
+          lit(4) * (col("n").cast(DecimalType(38, 0)) * col("q") - col("s") * col("s")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("lhs") > col("rhs") &&
+            col("v").cast(DecimalType(38, 0)) * col("n") > col("s"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Tumbling 1-hour windows per event_type.
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -131,6 +160,23 @@ object EventTime {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(v) AS HUGEINT) AS s,
+        |         CAST(sum(v * v) AS HUGEINT) AS q
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN
+        |           CAST(st.n * ev.v - st.s AS HUGEINT) * CAST(st.n * ev.v - st.s AS HUGEINT)
+        |             > 4 * (st.n * st.q - st.s * st.s)
+        |           AND st.n * ev.v > st.s
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "events_retention" ->
       """WITH cohort AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

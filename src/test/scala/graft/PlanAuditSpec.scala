@@ -40,11 +40,11 @@ class PlanAuditSpec extends SparkSpec {
       "events", "documents", "embeddings")
     // grouping keys with sf-independent domains: embedding geometry is
     // fixed by the model (64 dims, 8 subspaces, 16 centroids), not by
-    // corpus size; `source` is the pipeline's feed list — a bounded
-    // categorical like language (temperature re-weighting is only
-    // meaningful over a small source set whose thresholds one tunes),
-    // so a per-source aggregate is one row per feed, not per doc
-    val fixedGeometry = Set("dim", "sub", "cent_id", "source")
+    // corpus size; `source` is the pipeline's feed list and `event_type`
+    // the event taxonomy — bounded categoricals like language (their
+    // domains grow with the schema, not the data volume), so a
+    // per-source/per-type aggregate is one row per category, not per row
+    val fixedGeometry = Set("dim", "sub", "cent_id", "source", "event_type")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
       analyzed.foreach {

@@ -91,6 +91,18 @@ class RelationalSpec extends SparkSpec {
     assert(merges.take(2).map(m => (m._2, m._3)) === unrolled.toSeq)
   }
 
+  test("events_outliers: Chebyshev-bounded and totals conserved") {
+    import graft.core.Tables
+    val rows = run("events_outliers").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf0001).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events"); val o = r.getAs[Long]("n_outliers")
+      // one-sided 2-sigma exceedance is at most 1/4 of any distribution
+      assert(o <= n / 4 + 1, s"${r.getAs[String]("event_type")}: $o outliers of $n")
+    }
+  }
+
   test("scan_pushdown pushes the filter to the parquet scan") {
     val df = run("scan_pushdown")
     val plan = df.queryExecution.executedPlan.toString
