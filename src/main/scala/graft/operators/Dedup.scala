@@ -63,16 +63,22 @@ object Dedup {
       (0 until NumHashes).map(i =>
         min(hash60(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
 
-  /** (doc_id, band, sig): band signature = md5 of its 4 concatenated
+  /** (doc_id, band, sig) for an arbitrary (bands × rows) tiling of the
+    * 16 min-hashes: band signature = md5 of its `rows` concatenated
     * min-hashes. Pairs sharing any (band, sig) are candidates. */
-  def lshBands(sigs: DataFrame): DataFrame =
+  def lshBandsCfg(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == NumHashes, s"$bands x $rows != $NumHashes")
     sigs.select(col("doc_id"), explode(array(
-      (0 until Bands).map { b =>
+      (0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
-            (b * Rows until (b + 1) * Rows).map(i => col(s"h$i").cast("string")): _*)).as("sig"))
+            (b * rows until (b + 1) * rows).map(i => col(s"h$i").cast("string")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** The shipped 4 × 4 tiling. */
+  def lshBands(sigs: DataFrame): DataFrame = lshBandsCfg(sigs, Bands, Rows)
 
   /** (doc_a, doc_b, shared, ca, cb) restricted to candidate pairs, via
     * inverted-index counting: one self-join on the shingle, semi-filtered
@@ -479,6 +485,31 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH TUNING CURVE — the sweep an operator runs before committing a
+    // band shape: the same 16 min-hashes tiled as 2×8 / 4×4 / 8×2,
+    // reporting each configuration's candidate volume (its cost) and
+    // verified J ≥ 0.5 pairs (its recall). More, narrower bands = more
+    // candidates + higher recall; the curve makes the trade-off a
+    // measurement instead of folklore. Signatures staged once; each
+    // config is one band self-join + candidate-pruned verify.
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      val sh = stagedShingles(s, dir)
+      val sigs = stagedMinhashSigs(s, dir)
+      Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+        val bands = lshBandsCfg(sigs, b, r)
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(jaccardBySets(cand, sh).filter(col("jaccard") >= 0.5)
+            .agg(count(lit(1)).as("n_verified")))
+          .select(lit(s"${b}x$r").as("config"),
+            col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionByName _).orderBy("config")
+    }),
+
     // Estimator calibration — MinHash agreement (the estimate an LSH
     // pipeline ranks by) side by side with exact Jaccard for every LSH
     // candidate pair that shares a shingle: E[agreement/16] = J, and
@@ -747,10 +778,52 @@ object Dedup {
       |  FROM sh a JOIN rare r ON a.shingle = r.shingle
       |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin
 
+  // generalized band-signature SQL for one (bands × rows) tiling,
+  // mirroring lshBandsCfg
+  private def bandSigsCfg(bands: Int, rows: Int): String = (0 until bands)
+    .map(b => s"md5(${(b * rows until (b + 1) * rows)
+      .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")}) AS sig$b")
+    .mkString(", ")
+
+  // per-config CTE chain: candidates + count of verified J >= 0.5 pairs
+  private def tuningCtes(name: String, bands: Int, rows: Int): String =
+    s"""bands_$name AS (
+       |  SELECT doc_id, b.band,
+       |         CASE b.band ${(0 until bands).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+       |  FROM (SELECT doc_id, ${bandSigsCfg(bands, rows)} FROM sigs),
+       |       (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b),
+       |cand_$name AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands_$name l JOIN bands_$name r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |ver_$name AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT sc.doc_a, sc.doc_b, sc.shared, ca.c AS ca, cb.c AS cb FROM (
+       |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      JOIN cand_$name c ON a.doc_id = c.doc_a AND b.doc_id = c.doc_b
+       |      GROUP BY 1, 2) sc
+       |    JOIN cnt ca ON sc.doc_a = ca.doc_id JOIN cnt cb ON sc.doc_b = cb.doc_id) t
+       |  WHERE CAST(shared AS DOUBLE) / (ca + cb - shared) >= 0.5)""".stripMargin
+
   def oracles: Map[String, String] =
     baseOracles +
       ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard")) +
-      ("dedup_ngram_jaccard_prefix" -> uncappedJaccardOracle)
+      ("dedup_ngram_jaccard_prefix" -> uncappedJaccardOracle) +
+      ("dedup_lsh_tuning" ->
+        s"""WITH $shingleCte,
+           |sigs AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+           |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+           |${tuningCtes("2x8", 2, 8)},
+           |${tuningCtes("4x4", 4, 4)},
+           |${tuningCtes("8x2", 8, 2)}
+           |SELECT '2x8' AS config, (SELECT count(*) FROM cand_2x8) AS n_candidates,
+           |       (SELECT n FROM ver_2x8) AS n_verified
+           |UNION ALL
+           |SELECT '4x4', (SELECT count(*) FROM cand_4x4), (SELECT n FROM ver_4x4)
+           |UNION ALL
+           |SELECT '8x2', (SELECT count(*) FROM cand_8x2), (SELECT n FROM ver_8x2)
+           |ORDER BY config""".stripMargin)
 
   private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->

@@ -253,6 +253,19 @@ class LlmOpsSpec extends SparkSpec {
       }
   }
 
+  test("dedup_lsh_tuning: narrower bands buy candidates and recall monotonically") {
+    val byCfg = run("dedup_lsh_tuning").collect()
+      .map(r => r.getAs[String]("config") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_verified"))).toMap
+    assert(byCfg.keySet === Set("2x8", "4x4", "8x2"))
+    // a pair colliding under an r-row band also collides under any
+    // tiling that splits those rows — candidate sets are nested
+    assert(byCfg("8x2")._1 >= byCfg("4x4")._1 && byCfg("4x4")._1 >= byCfg("2x8")._1,
+      s"candidate volume not monotone: $byCfg")
+    assert(byCfg("8x2")._2 >= byCfg("4x4")._2 && byCfg("4x4")._2 >= byCfg("2x8")._2,
+      s"verified recall not monotone: $byCfg")
+  }
+
   test("dedup_minhash_est: signature agreement tracks exact jaccard") {
     val rows = run("dedup_minhash_est").collect()
     assert(rows.nonEmpty, "LSH produced no candidate pairs to calibrate on")
