@@ -79,7 +79,7 @@ object AsOf {
     */
   def asOfJoinNative(left: DataFrame, leftKey: String, leftTs: String,
                      right: DataFrame, rightKey: String, rightTs: String,
-                     rightCols: Seq[String]): DataFrame = {
+                     rightCols: Seq[String], outer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     val lp = PlanBridge.analyzed(left)
     val rp = PlanBridge.analyzed(right)
@@ -90,7 +90,7 @@ object AsOf {
       graft.plans.AsOfJoin(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey),
         attr(lp, leftTs), attr(rp, rightTs),
-        rightCols.map(attr(rp, _))))
+        rightCols.map(attr(rp, _)), outer))
   }
 
   /** Events joined to the customer's most recent order, right side
@@ -126,7 +126,31 @@ object AsOf {
     // Same semantics through the native whole-operator path
     // (AsOfJoin logical node → AsOfJoinStrategy → AsOfJoinExec merge).
     "asof_join_native" -> ((s, dir) =>
-      eventsOrdersAsOf(s, dir, asOfJoinNative))
+      eventsOrdersAsOf(s, dir, (l, lk, lt, r, rk, rt, cols) =>
+        asOfJoinNative(l, lk, lt, r, rk, rt, cols))),
+
+    // LEFT OUTER as-of through the native operator: the right side is
+    // thinned to a third of customers so unmatched events genuinely
+    // exercise the null-padding path (pandas merge_asof's default
+    // keep-unmatched semantics; DuckDB's ASOF LEFT JOIN is the oracle).
+    "asof_join_native_outer" -> ((s, dir) => {
+      val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+        .orderBy(desc("o_orderkey"))
+      val ordersDedup = Tables.orders(s, dir)
+        .filter(col("o_custkey") % 3 === 0)
+        .withColumn("_rn", row_number().over(dedupW))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+      val events = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      asOfJoinNative(events, "user_id", "ts",
+        ordersDedup, "o_custkey", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), outer = true)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("event_id")
+    })
   )
 
   private val eventsOrdersOracle =
@@ -144,6 +168,18 @@ object AsOf {
 
   def oracles: Map[String, String] = Map(
     "asof_join_events_orders" -> eventsOrdersOracle,
-    "asof_join_native" -> eventsOrdersOracle
+    "asof_join_native" -> eventsOrdersOracle,
+    "asof_join_native_outer" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin
   )
 }

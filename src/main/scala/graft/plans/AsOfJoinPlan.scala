@@ -31,8 +31,12 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
-    rightCarry: Seq[Attribute]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ rightCarry
+    rightCarry: Seq[Attribute],
+    outer: Boolean = false) extends BinaryNode {
+  // LEFT OUTER as-of: unmatched (or null-key/ts) left rows survive with
+  // null carry columns — so the carry attributes must be nullable
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) rightCarry.map(_.withNullability(true)) else rightCarry)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -42,8 +46,11 @@ case class AsOfJoin(
   * SparkSessionExtensions.injectPlannerStrategy. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, carry) =>
-      AsOfJoinExec(lk, rk, lt, rt, carry, planLater(l), planLater(r)) :: Nil
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt, _, outer) =>
+      // use the LOGICAL node's output carry (nullability already adjusted
+      // for outer) so exec output matches what the analyzer resolved
+      AsOfJoinExec(lk, rk, lt, rt, j.output.drop(l.output.length), outer,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +68,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightCarry: Seq[Attribute],
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -87,19 +95,30 @@ case class AsOfJoinExec(
     val leftOut = left.output
     val rightOut = right.output
 
+    val isOuter = outer
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val project = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // bindReference takes nullability from the INPUT schema: under
+      // outer the right side must bind nullable or codegen would skip
+      // the null check on the all-null padding row
+      val rightIn = if (isOuter) rightOut.map(_.withNullability(true)) else rightOut
+      val project = UnsafeProjection.create(allOut, leftOut ++ rightIn)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // all-null right side emitted for unmatched left rows in outer mode
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOut.length)
       var heldRow: InternalRow = null
       var heldKey: Any = null
 
       lIter.flatMap { lRow =>
         val lK = lKeyB.eval(lRow)
         val lT = lTsB.eval(lRow)
-        if (lK == null || lT == null) Iterator.empty // null key/ts match nothing;
-        // and must not advance the right side (later left rows may need it)
-        else {
+        if (lK == null || lT == null) {
+          // null key/ts match nothing and must not advance the right side
+          // (later left rows may need it); outer keeps the bare left row
+          if (isOuter) Iterator.single(project(joined(lRow, nullRight)))
+          else Iterator.empty
+        } else {
           // consume right rows that are (key < lK) or (key == lK, ts <= lT);
           // hold the latest same-key one as the current match candidate
           var advancing = true
@@ -118,6 +137,8 @@ case class AsOfJoinExec(
           }
           if (heldRow != null && heldKey != null && keyOrd.compare(heldKey, lK) == 0) {
             Iterator.single(project(joined(lRow, heldRow)))
+          } else if (isOuter) {
+            Iterator.single(project(joined(lRow, nullRight)))
           } else Iterator.empty
         }
       }

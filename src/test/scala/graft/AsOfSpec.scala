@@ -49,6 +49,30 @@ class AsOfSpec extends SparkSpec {
     assert(out === Map(1L -> 102L, 2L -> 101L, 3L -> 101L))
   }
 
+  test("outer native as-of keeps unmatched and null-key left rows with null carry") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 10:00:00"))), // matched
+      (4L, Option(10L), Option(ts("2023-12-31 23:59:59"))), // before any right row
+      (5L, Option(99L), Option(ts("2024-01-01 12:00:00"))), // key with no right rows
+      (6L, None: Option[Long], Option(ts("2024-01-01 12:00:00"))), // null key
+      (7L, Option(10L), None: Option[Timestamp]) // null ts
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 101L, 11.0),
+      (10L, ts("2024-01-01 06:00:00"), 102L, 22.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    val out = AsOf.asOfJoinNative(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), outer = true)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("o_orderkey"))) None
+         else Some(r.getAs[Long]("o_orderkey")))).toMap
+    // every left row survives; only the true match carries a value
+    assert(out === Map(1L -> Some(102L), 4L -> None, 5L -> None, 6L -> None, 7L -> None))
+  }
+
   test("native plan contains AsOfJoinExec with exchanges and sorts, no window") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:01"))).toDF("event_id", "user_id", "ts")
@@ -76,7 +100,11 @@ class AsOfSpec extends SparkSpec {
       (Some(10L), None, 103L, 3.0)                        // null ts: never a match
     ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
 
-    for (impl <- Seq(AsOf.asOfJoin _, AsOf.asOfJoinNative _)) {
+    val impls: Seq[(org.apache.spark.sql.DataFrame, String, String,
+        org.apache.spark.sql.DataFrame, String, String, Seq[String]) => org.apache.spark.sql.DataFrame] =
+      Seq(AsOf.asOfJoin _,
+        (l, lk, lt, r, rk, rt, c) => AsOf.asOfJoinNative(l, lk, lt, r, rk, rt, c))
+    for (impl <- impls) {
       val out = impl(left, "user_id", "ts", right, "o_custkey", "o_orderdate",
         Seq("o_orderkey", "o_totalprice"))
         .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey")).toMap
