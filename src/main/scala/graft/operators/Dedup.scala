@@ -384,6 +384,21 @@ object Dedup {
       val sh = stagedShingles(s, dir)
       sharedCountsFor(cappedCandidates(sh, maxDf), sh)
     }
+  /** LSH candidate pairs staged per band shape: the tuning sweep consumes
+    * each config's candidate set twice (candidate count + exact verify) and
+    * the shipped 4×4 set is ALSO consumed by dedup_minhash_lsh and
+    * dedup_minhash_est — unstaged, every reference re-ran the band
+    * self-join + distinct. At cluster scale this is the "write the
+    * candidate list before verification" step every LSH pipeline has. */
+  def stagedLshCandidates(s: SparkSession, dir: String, b: Int, r: Int): DataFrame =
+    staged(s, s"$dir|lshcand|${b}x$r") {
+      val bands = lshBandsCfg(stagedMinhashSigs(s, dir), b, r)
+      bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
   def stagedGrams(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|grams|$SubstrLen") {
       val L = SubstrLen
@@ -472,13 +487,7 @@ object Dedup {
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      val sigs = stagedMinhashSigs(s, dir)
-      val bands = lshBands(sigs)
-      val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-      val cand = l.join(r, Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val cand = stagedLshCandidates(s, dir, Bands, Rows)
       jaccardBySets(cand, sh)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
@@ -494,14 +503,8 @@ object Dedup {
     // config is one band self-join + candidate-pruned verify.
     "dedup_lsh_tuning" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      val sigs = stagedMinhashSigs(s, dir)
       Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
-        val bands = lshBandsCfg(sigs, b, r)
-        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
-            Seq("band", "sig"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        val cand = stagedLshCandidates(s, dir, b, r)
         cand.agg(count(lit(1)).as("n_candidates"))
           .crossJoin(jaccardBySets(cand, sh).filter(col("jaccard") >= 0.5)
             .agg(count(lit(1)).as("n_verified")))
@@ -519,12 +522,7 @@ object Dedup {
     "dedup_minhash_est" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
       val sigs = stagedMinhashSigs(s, dir)
-      val bands = lshBands(sigs)
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val cand = stagedLshCandidates(s, dir, Bands, Rows)
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sigs.select(col("doc_id").as("doc_b") +:
