@@ -421,6 +421,33 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("fingerprint")),
 
+    // Bloom-gated EXACT ingest dedup (graft.functions.Bloom): the
+    // corpus's fingerprint set folds into a persisted fixed-size filter;
+    // an ingest batch probes it AT THE SCAN — definitely-new docs pass
+    // through with no join at all (the common case: most of a fresh
+    // crawl is new), and only possible members (true dups + fpp false
+    // positives) take the exact anti-join against the corpus. No false
+    // negatives → the union of both paths is exactly the batch-minus-
+    // corpus set, so the oracle is the plain NOT EXISTS. At 100 TB the
+    // corpus is touched only to build/refresh the ~MB filter artifact;
+    // steady-state ingest cost is proportional to the BATCH.
+    "dedup_bloom_ingest" -> ((s, dir) => {
+      val batchSrcs = Seq("src16", "src17", "src18", "src19")
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(!col("source").isin(batchSrcs: _*))
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val batch = docs.filter(col("source").isin(batchSrcs: _*))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val bloom = graft.functions.Bloom.stagedBytes(
+        s, s"$dir|bloom|corpusfp", corpus, col("fingerprint"), 1L << 17)
+      val definitelyNew = batch.filter(!graft.functions.Bloom.mightContain(bloom, col("fingerprint")))
+      val confirmedNew = batch.filter(graft.functions.Bloom.mightContain(bloom, col("fingerprint")))
+        .join(corpus, Seq("fingerprint"), "left_anti")
+      definitelyNew.unionByName(confirmedNew)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5),
     // SHIPPED via the df-capped candidate path: stop-shingles (document
     // frequency > 64) are dropped before the self-join — a df-f bucket
@@ -828,6 +855,17 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_bloom_ingest" ->
+      """SELECT b.doc_id, b.source
+        |FROM documents b
+        |WHERE b.source IN ('src16','src17','src18','src19')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.source NOT IN ('src16','src17','src18','src19')
+        |      AND md5(trim(regexp_replace(c.text, '\s+', ' ', 'g')))
+        |        = md5(trim(regexp_replace(b.text, '\s+', ' ', 'g'))))
+        |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
