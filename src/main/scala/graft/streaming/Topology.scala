@@ -32,3 +32,25 @@ final case class Topology(name: String,
     wire(spark.readStream.text(spoutPath.getOrElse(
       throw new IllegalStateException(s"topology $name has no spout"))))
 }
+
+object Topology {
+
+  /** The reference master's console prefix (`crane_master.py:29`). */
+  val MasterPrefix = "MASTER - [INFO]: "
+
+  /** The reference's final-result dump, `crane_master.py:166-169`:
+    * `print(self.prefix, k, ' --- ', v)` renders each key/value of the
+    * final dict as `<prefix> k  ---  v` (Python's print inserts a space
+    * between arguments, so ` --- ` gains one more on each side).
+    * Formats a bounded 2-column final aggregate identically. Driver-side
+    * by design — it is the console rendering of an already-reduced final
+    * result, the same bounded fetch the reference's print_result does —
+    * and capped so a mistakenly-unbounded frame cannot flood the driver.
+    */
+  def dumpLines(result: DataFrame, prefix: String = MasterPrefix,
+      maxRows: Int = 10000): Seq[String] =
+    result.take(maxRows).toSeq.map(r => s"$prefix ${r.get(0)}  ---  ${r.get(1)}")
+
+  def printResult(result: DataFrame, prefix: String = MasterPrefix): Unit =
+    dumpLines(result, prefix).foreach(println)
+}

@@ -34,6 +34,19 @@ class TopologySpec extends SparkSpec {
     assert(streamed === direct)
   }
 
+  test("final-result dump matches the reference's `k  ---  v` console format") {
+    // crane_master.py:166-169 prints `MASTER - [INFO]:  word  ---  n`
+    val wc = Parity.wordCount(spark.read.text("/root/reference/app/wordcount2k.csv"))
+    val lines = Topology.dumpLines(wc.orderBy("word"))
+    assert(lines.length === wc.count())
+    // \S* not \S+: the wordcount surface keeps EMPTY tokens (the
+    // reference's split semantics, §2.2.4), and the dump prints them too
+    assert(lines.forall(_.matches("""MASTER - \[INFO\]:  \S*  ---  \d+""")))
+    val direct = wc.orderBy("word").collect()
+      .map(r => s"MASTER - [INFO]:  ${r.getString(0)}  ---  ${r.getLong(1)}")
+    assert(lines === direct.toSeq)
+  }
+
   test("topology with versioned top-k sink: one version per batch, resume picks up new data") {
     import graft.sources.VersionedStore
     val in = Files.createTempDirectory("graft-topk-in")
