@@ -66,7 +66,28 @@ object Pipeline {
         .groupBy("lang", "bucket", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
         .orderBy("lang", "bucket", "seq_id")
-    })
+    }),
+
+    // DATASET CARD — the per-source audit table published next to a
+    // training corpus (docs, languages, char/token volume, quality-gate
+    // survivors, size extremes). Every measure is integer-exact (counts,
+    // long sums, a threshold gate on the shared quality score), so the
+    // card is bit-reproducible across engines and runs — an audit
+    // artifact must never depend on partition order. One partial-agg
+    // groupBy on a bounded categorical key: a single scan + one tiny
+    // exchange at any corpus size.
+    "pipeline_dataset_card" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_total"),
+          sum(when(TextAnalysis.qualityScore(col("text")) > 0.5, 1L).otherwise(0L)).as("n_keep"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source"))
   )
 
   private val bucketSql =
@@ -101,6 +122,15 @@ object Pipeline {
         |SELECT lang, bucket,
         |       CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-        |FROM off GROUP BY 1, 2, 3 ORDER BY lang, bucket, seq_id""".stripMargin
+        |FROM off GROUP BY 1, 2, 3 ORDER BY lang, bucket, seq_id""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+         |       CAST(sum(CASE WHEN ${TextAnalysis.qualitySql} > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
