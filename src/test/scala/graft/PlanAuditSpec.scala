@@ -165,4 +165,25 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("bloom prefilter probes before the confirm join, inside codegen") {
+    // the whole point of the explicit bloom artifact: the might_contain
+    // probe must sit on the fact side BEFORE the join (rows drop at the
+    // scan), not be reordered after it — and as a codegen'd predicate,
+    // not an interpreted one
+    val p = plan("join_bloom_prefilter")
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(probeAt >= 0, p)
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe should be below (execute before) the join in the plan tree:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dataset card is one scan with partial+final aggregation") {
+    val p = plan("pipeline_dataset_card")
+    assert(p.contains("HashAggregate"), p)
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"dataset card should read the corpus exactly once:\n$p")
+  }
 }
