@@ -73,7 +73,27 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
           min(when(col("sampled"), col("doc_id"))).as("first_sampled_doc"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Per-source QUOTA sampling — the data-mixing cap ("at most K docs
+    // from any one source") applied deterministically: rank docs within
+    // each source by content-hash order (a reproducible pseudo-random
+    // permutation — rand() would give a different sample every run) and
+    // keep rank ≤ K. The window sorts only WITHIN a source; sources are
+    // a bounded categorical key, and a skewed giant source is the
+    // documented pre-shuffle salting case (rank within (source, salt)
+    // then re-rank the K·S survivors) rather than a global sort.
+    "sample_quota_per_source" -> ((s, dir) => {
+      val K = 10
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(PortableHash.hash60(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .orderBy("source", "rk")
+    })
   )
 
   private val bucketSql = s"${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 100"
@@ -106,6 +126,15 @@ object Sampling {
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |       min(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN doc_id END) AS first_sampled_doc
-         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "sample_quota_per_source" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ${PortableHash.sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
   )
 }
