@@ -46,6 +46,8 @@ object Topology {
     * by design — it is the console rendering of an already-reduced final
     * result, the same bounded fetch the reference's print_result does —
     * and capped so a mistakenly-unbounded frame cannot flood the driver.
+    * The distributed-file counterpart (the `saveAsTextFiles` shape,
+    * single-space ` --- `) is [[graft.sources.TextSink.craneDump]].
     */
   def dumpLines(result: DataFrame, prefix: String = MasterPrefix,
       maxRows: Int = 10000): Seq[String] =
