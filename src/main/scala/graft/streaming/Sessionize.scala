@@ -96,6 +96,63 @@ object Sessionize {
       }
   }
 
+  // -------------------------------------------------------------------
+  // transformWithState variant — the same session semantics on Spark
+  // 4.x's arbitrary-state API: a typed ValueState plus EXPLICIT
+  // event-time timers (registerTimer / handleExpiredTimer) instead of
+  // GroupState's setTimeoutTimestamp. The per-batch fold is shared
+  // (foldSessions), so the two APIs cannot drift. Streaming-only, and
+  // requires the RocksDB state store provider (a transformWithState
+  // engine restriction).
+
+  class SessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(_.ts.getTime).iterator
+      val (closed, tail) =
+        foldSessions(key, sorted, if (st.exists()) Some(st.get()) else None)
+      tail match {
+        case Some(s) =>
+          st.update(s)
+          // one timer per open session at its gap horizon; an older
+          // timer superseded by newer events is ignored on expiry below
+          getHandle.registerTimer(s.last + GapMs)
+        case None => st.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      if (st.exists() && info.getExpiryTimeInMs >= st.get().last + GapMs) {
+        val s = st.get(); st.clear()
+        Iterator.single(Session(key, new Timestamp(s.start), s.n, s.total))
+      } else Iterator.empty // stale timer: the session got more events
+    }
+  }
+
+  /** Streaming sessionizer on transformWithState; callers must
+    * withWatermark("ts", …) upstream and run with the RocksDB state
+    * store provider. */
+  def sessionizeTWS(df: DataFrame): Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[Session]])
+  }
+
   /** Batch-shaped output matching the events_session oracle columns. */
   def sessionizeBatch(df: DataFrame): DataFrame =
     sessionizeBatchDs(df)

@@ -128,6 +128,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= batch.size / 2, s"too few sessions: ${got.size} vs ${batch.size}")
   }
 
+  test("transformWithState sessionizer: finalized sessions match batch (RocksDB store)") {
+    // Spark 4.x arbitrary-state API: typed ValueState + explicit
+    // event-time timers; engine requires the RocksDB provider
+    val batchEvents = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-tws-in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+        .withWatermark("ts", "30 minutes")
+      val got = Streams.runToCompletion(spark,
+        Sessionize.sessionizeTWS(streamed).toDF(), "tws_sessions", mode = "append")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("ss"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventTime.queries("events_session")(spark, sf0001)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start")) ->
+          r.getAs[Long]("n_events")).toMap
+      assert(got.nonEmpty, "no sessions emitted")
+      for ((k, v) <- got)
+        assert(batch.get(k).contains(v), s"session $k: stream $v vs batch ${batch.get(k)}")
+      // the watermark-tail open session per user may be withheld, nothing else
+      assert(got.size >= batch.size / 2, s"too few sessions: ${got.size} vs ${batch.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer ≡ declarative session_window query") {
     val stateful = SparkEntry.queries("sessionize_stateful")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
