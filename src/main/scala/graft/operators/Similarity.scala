@@ -214,6 +214,27 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // RECALL@K EVAL — the measurement an ANN deployment publishes before
+    // putting an approximate index in front of exact search: each
+    // variant's top-k intersected with the exact top-k ground truth,
+    // per query. The ANN twin of dedup_lsh_tuning / dedup_minhash_est:
+    // calibrate the approximation against its exact twin, then trust
+    // it. Ground truth is staged once; each variant adds one semi-join
+    // over k·|queries| rows + a tiny aggregate.
+    "ann_recall_eval" -> ((s, dir) => {
+      val exact = graft.core.Staged(s, s"$dir|ann_exact_topk") {
+        queries("ann_cosine_topk")(s, dir).select(col("query_id"), col("vec_id"))
+      }
+      Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk").map { v =>
+        queries(v)(s, dir)
+          .select(col("query_id"), col("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .select(lit(v).as("variant"), col("query_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / TopK, 6).as("recall"))
+      }.reduce(_ unionByName _).orderBy("variant", "query_id")
+    }),
+
     // TRAINED-IVF ANN — the production composition: train the coarse
     // quantizer (two integer-exact Lloyd rounds, Clustering.trainedCells),
     // build the inverted file from its assignment, then search each
@@ -384,7 +405,31 @@ object Similarity {
       s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
     .mkString(" + ")
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = baseOracles
+    // recall eval replays each variant's full oracle as a derived table
+    // against the exact top-k's — one composed statement, zero drift
+    // from the per-variant oracles
+    val variants = Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk")
+    val candSql = variants.map(v =>
+      s"  SELECT '$v' AS variant, query_id, vec_id FROM (\n${base(v)}\n) ${v}_t")
+      .mkString("\n  UNION ALL\n")
+    base + ("ann_recall_eval" ->
+      s"""WITH exact AS (SELECT query_id, vec_id FROM (
+         |${base("ann_cosine_topk")}
+         |) exact_t),
+         |cand AS (
+         |$candSql),
+         |hits AS (
+         |  SELECT variant, c.query_id, count(*) AS n_hits
+         |  FROM cand c JOIN exact e ON c.query_id = e.query_id AND c.vec_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT variant, query_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |       round(CAST(n_hits AS DOUBLE) / $TopK, 6) AS recall
+         |FROM hits ORDER BY variant, query_id""".stripMargin)
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
