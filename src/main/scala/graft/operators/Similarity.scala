@@ -225,7 +225,8 @@ object Similarity {
       val exact = graft.core.Staged(s, s"$dir|ann_exact_topk") {
         queries("ann_cosine_topk")(s, dir).select(col("query_id"), col("vec_id"))
       }
-      Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk").map { v =>
+      Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk",
+          "ann_sq8_topk", "ann_pq_adc").map { v =>
         queries(v)(s, dir)
           .select(col("query_id"), col("vec_id"))
           .join(exact, Seq("query_id", "vec_id"), "left_semi")
@@ -410,7 +411,8 @@ object Similarity {
     // recall eval replays each variant's full oracle as a derived table
     // against the exact top-k's — one composed statement, zero drift
     // from the per-variant oracles
-    val variants = Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk")
+    val variants = Seq("ann_lsh_bucketed", "ann_multiprobe_topk", "ann_ivf_topk",
+      "ann_sq8_topk", "ann_pq_adc")
     val candSql = variants.map(v =>
       s"  SELECT '$v' AS variant, query_id, vec_id FROM (\n${base(v)}\n) ${v}_t")
       .mkString("\n  UNION ALL\n")
