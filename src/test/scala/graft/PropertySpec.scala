@@ -58,4 +58,28 @@ class PropertySpec extends SparkSpec {
       math.abs(got - want) < 1e-9
     })
   }
+
+  test("bloom prefilter + exact confirm ≡ anti-join for arbitrary key sets") {
+    // the exactness contract of graft.functions.Bloom: whatever the
+    // corpus/batch overlap, the two-path composition equals the plain
+    // anti-join (no false negatives ever; false positives removed by
+    // the confirm join)
+    import org.apache.spark.sql.functions.col
+    val keysGen = Gen.listOfN(60, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    check("bloom-exact", Prop.forAll(keysGen, keysGen) { (corpusKeys, batchKeys) =>
+      corpusKeys.isEmpty || {
+        import spark.implicits._
+        val corpus = corpusKeys.distinct.toDF("k")
+        val batch = batchKeys.distinct.toDF("k")
+        val bloom = graft.functions.Bloom.buildBytes(corpus, col("k"), 128L)
+        val got = batch.filter(!graft.functions.Bloom.mightContain(bloom, col("k")))
+          .unionByName(batch.filter(graft.functions.Bloom.mightContain(bloom, col("k")))
+            .join(corpus, Seq("k"), "left_anti"))
+          .as[Long].collect().sorted.toSeq
+        val want = batch.join(corpus, Seq("k"), "left_anti")
+          .as[Long].collect().sorted.toSeq
+        got == want
+      }
+    })
+  }
 }
