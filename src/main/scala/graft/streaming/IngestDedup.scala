@@ -79,4 +79,67 @@ object IngestDedup {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Bloom-gated EXACT ingest dedup with per-batch artifact refresh —
+    * the streaming form of the `dedup_bloom_ingest` query: each
+    * micro-batch's fingerprints probe the standing corpus bloom
+    * (definitely-new docs skip the confirm join; possible members take
+    * the exact anti-join), the surviving docs land as one
+    * [[VersionedStore]] version, and the artifacts are refreshed by
+    * OR-merging a DELTA filter built over just the accepted docs — so a
+    * doc first seen in batch N is dropped in batch N+1, at per-trigger
+    * cost proportional to the batch, never the corpus.
+    *
+    * Exactly-once across restarts: the standing fingerprint set is
+    * rebuilt at start from the base corpus plus every already-written
+    * store version, and a replayed batch (its version already present)
+    * is an idempotent no-op — reprocessing it against state that
+    * already contains its own docs would write an empty version over
+    * the good one. */
+  def startBloomGate(spark: SparkSession, corpusDocs: DataFrame, inDir: String,
+      outBase: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1, expectedKeys: Long = 1L << 17): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Bloom, TextAnalysis}
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val doneVersions = VersionedStore.listVersions(outBase).toSet
+    var corpusFp = {
+      val baseFp = corpusDocs.select(fp.as("fingerprint"))
+      val withPrior =
+        if (doneVersions.isEmpty) baseFp
+        else baseFp.unionByName(
+          VersionedStore.readVersions(spark, outBase, doneVersions.size)
+            .select("fingerprint"))
+      withPrior.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    var bloom = Bloom.buildBytes(corpusFp, col("fingerprint"), expectedKeys)
+    spark.readStream
+      .schema(corpusDocs.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!doneVersions.contains(batchId + 1)) {
+          val batchFp = batch.select(col("doc_id"), col("source"), fp.as("fingerprint"))
+          // in-batch duplicates collapse to the lowest doc_id first
+          val w = Window.partitionBy("fingerprint").orderBy("doc_id")
+          val uniq = batchFp.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1).drop("rk")
+          val definitelyNew = uniq.filter(!Bloom.mightContain(bloom, col("fingerprint")))
+          val confirmed = uniq.filter(Bloom.mightContain(bloom, col("fingerprint")))
+            .join(corpusFp, Seq("fingerprint"), "left_anti")
+          val accepted = definitelyNew.unionByName(confirmed)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          VersionedStore.writeBatch(accepted, outBase, batchId): Unit
+          if (accepted.head(1).nonEmpty) {
+            bloom = Bloom.merge(bloom,
+              Bloom.buildBytes(accepted, col("fingerprint"), expectedKeys))
+            corpusFp = corpusFp.unionByName(accepted.select("fingerprint"))
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
