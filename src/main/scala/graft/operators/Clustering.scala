@@ -93,11 +93,16 @@ object Clustering {
 
   /** (vec_id, cell) under the TRAINED coarse quantizer — the inverted-file
     * assignment ann_ivf_trained_topk searches. Train → assign is the
-    * production IVF pipeline (vs ann_ivf_topk's fixed seed centroids). */
-  private[operators] def trainedCells(s: SparkSession, dir: String): DataFrame = {
-    val (emb, cents1) = trained(s, dir)
-    assign(emb, cents1).select(col("vec_id"), col("cell"))
-  }
+    * production IVF pipeline (vs ann_ivf_topk's fixed seed centroids).
+    * Staged per (session, dir): the search query references the
+    * assignment on BOTH join sides, and unstaged each reference re-ran
+    * the full two-round Lloyd training — exactly the artifact a real
+    * pipeline persists between "train index" and "serve queries". */
+  private[operators] def trainedCells(s: SparkSession, dir: String): DataFrame =
+    graft.core.Staged(s, s"$dir|ivf_trained_cells") {
+      val (emb, cents1) = trained(s, dir)
+      assign(emb, cents1).select(col("vec_id"), col("cell"))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -123,7 +123,12 @@ object Similarity {
       val emb = withNorm(Tables.embeddings(s, dir))
       val bandVals = array((0 until NeardupBands).map(b =>
         VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
-      val bx = emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+      // staged: the band table feeds BOTH the exact side and the 9x probe
+      // side of the candidate join — unstaged, the 8-band sign explode
+      // ran twice (the same convention as Dedup.stagedLshCandidates)
+      val bx = graft.core.Staged(s, s"$dir|neardup_bands") {
+        emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+      }
       // probe stream: each band value plus its 8 one-bit flips; an
       // exact-side row then equi-joins any probe within hamming <= 1
       val probes = bx.select(col("vec_id").as("vec_b"), col("band"),
