@@ -113,8 +113,44 @@ object Graph {
       tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("triangles"))
         .orderBy("node")
+    }),
+
+    // BFS HOP DISTANCE — driver-coordinated frontier expansion, the
+    // iterative primitive under reachability / shortest-path /
+    // influence-radius queries. Runs on the top-3-heaviest-out-edges
+    // subgraph (the full trade graph is near-complete at 25 nations, so
+    // everything would be depth 1; the k-NN restriction gives the depth
+    // structure a real sparse graph has) from the alphabetically-first
+    // node. Each round: frontier ⋈ edges → not-yet-visited targets —
+    // first discovery IS min depth, the reason BFS never needs a
+    // min-aggregate — with a lineage cut per round (same
+    // CheckpointStrategy discipline as powerIterate). Rounds bounded;
+    // every join equi-keyed; frontier ≤ |nodes|. The oracle is a DuckDB
+    // recursive CTE with the same depth bound and min(depth) per node.
+    "graph_bfs_depth" -> ((s, dir) => {
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("w"), col("dst"))
+      val sparse = stagedTradeEdges(s, dir)
+        .withColumn("rk", row_number().over(wnd)).filter(col("rk") <= 3)
+        .select("src", "dst")
+      val cut = CheckpointStrategy.Local
+      var frontier = cut.cut(
+        sparse.agg(min(col("src")).as("node")).select(col("node"), lit(0).as("depth")))
+      var visited = frontier
+      for (d <- 1 to MaxBfsDepth) {
+        val next = cut.cut(
+          frontier.join(sparse, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .select(col("node"), lit(d).as("depth")))
+        visited = cut.cut(visited.unionByName(next))
+        frontier = next
+      }
+      visited.orderBy("depth", "node")
     })
   )
+
+  private val MaxBfsDepth = 3
 
   private val edgeCte =
     """e AS (
@@ -159,6 +195,22 @@ object Graph {
          |          UNION ALL SELECT b FROM tri
          |          UNION ALL SELECT c FROM tri)
          |SELECT node, count(*) AS triangles
-         |FROM nodes GROUP BY 1 ORDER BY node""".stripMargin
+         |FROM nodes GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "graph_bfs_depth" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |sparse AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+         |    FROM e) WHERE rk <= 3),
+         |bfs AS (
+         |  SELECT (SELECT min(src) FROM sparse) AS node, 0 AS depth
+         |  UNION
+         |  SELECT s.dst, b.depth + 1
+         |  FROM bfs b JOIN sparse s ON b.node = s.src
+         |  WHERE b.depth < $MaxBfsDepth)
+         |SELECT node, CAST(min(depth) AS INT) AS depth
+         |FROM bfs GROUP BY 1 ORDER BY depth, node""".stripMargin
   )
 }
