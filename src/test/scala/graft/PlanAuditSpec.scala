@@ -79,8 +79,15 @@ class PlanAuditSpec extends SparkSpec {
           // a top-level LIMIT k caps the hinted side at k rows at any
           // scale factor (the argmax / top-k broadcast pattern)
           val limitOk = h.child.collectFirst { case l: GlobalLimit => l }.isDefined
+          // graft.core.Staged materializations are session-local parquet
+          // snapshots of derivations already audited at their source
+          // (e.g. the trained-IVF (vec_id, cell) assignment); a staged
+          // leaf joined under the pinning vec_id filter is bounded the
+          // same way the embeddings leaf is
+          val embeddingsLike =
+            leafTables.forall(t => t == "embeddings" || t.startsWith("graft-stage"))
           val ok = leafTables.subsetOf(bounded) || aggOk || limitOk ||
-            (filterOk && leafTables.subsetOf(Set("embeddings")))
+            (filterOk && embeddingsLike)
           assert(ok, s"$name forces a broadcast hint on sf-scaling " +
             s"table(s) ${leafTables.intersect(scaling)} with no bounding reduction")
         case _ => ()
