@@ -390,8 +390,65 @@ object Similarity {
       Tables.embeddings(s, dir)
         .groupBy(VectorOps.signBucket(col("embedding"), BucketBits).as("bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    "dedup_semantic" -> ((s, dir) =>
+      semanticPairs(s, dir)
+        .select(col("cell").cast("long").as("cell"), col("vec_a"), col("vec_b"),
+          round(col("score"), 6).as("score"))
+        .orderBy("cell", "vec_a", "vec_b")),
+
+    // Drop decision: any vector with a confirmed dup of smaller id in its
+    // cell is dropped; report per-cell population vs survivors.
+    "dedup_semantic_keep" -> ((s, dir) => {
+      val dropped = semanticPairs(s, dir).select(col("vec_b").as("vec_id")).distinct()
+      Clustering.trainedCells(s, dir)
+        .join(dropped.withColumn("drop", lit(1)), Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("drop").isNull, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("cell").cast("long").as("cell"), col("n"), col("n_keep"))
+        .orderBy("cell")
+    })
   )
+
+  /** SEMANTIC dedup (SemDeDup shape): cluster the corpus with the trained
+    * k-means coarse quantizer, then compare pairs only WITHIN a cluster
+    * with the exact cosine — the embedding-space analogue of the text
+    * pipeline's minhash banding, and the published recipe for pruning
+    * semantically redundant training data (Abbas et al. 2023,
+    * "SemDeDup"). Complements emb_neardup_lsh: LSH candidates come from
+    * local sign agreement (high-threshold near-dups), clustering
+    * candidates from global structure (catches paraphrase-distance pairs
+    * whose sign bands disagree).
+    *
+    * Scale shape: the quadratic blowup is confined to within-cell
+    * self-joins — cost Σ n_cell² ≈ N²/k for balanced cells, and k grows
+    * with the corpus in a real deployment so the per-cell population
+    * (and thus the largest join task) stays bounded. The trained
+    * assignment is the SAME staged artifact ann_ivf_trained_topk
+    * searches (train once, reuse everywhere), the cell equi-join
+    * shuffles each side once on cell, and the verify is one codegen'd
+    * dot product per candidate with norms attached once per row.
+    *
+    * dedup_semantic reports the confirmed pairs; dedup_semantic_keep is
+    * the drop decision a pipeline acts on — canonical = smallest vec_id
+    * per duplicate pair (the transitive-closure variant is
+    * dedup_clusters' connected components, shared machinery).
+    */
+  private def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val e = emb.join(Clustering.trainedCells(s, dir), "vec_id")
+    val a = e.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= 0.4)
+  }
 
   private val dotSql = "list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
@@ -607,6 +664,35 @@ object Similarity {
          |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, vec_id, round(score, 6) AS score
-         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    // SemDeDup: within-trained-cell pairs above the cosine threshold —
+    // the same a2 assignment CTE as kmeans/trained-IVF, so all three
+    // gates replay ONE training
+    "dedup_semantic" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |pairs AS (
+         |  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${cosineSql("a.embedding", "b.embedding")} AS score
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN embeddings a ON x.vec_id = a.vec_id
+         |  JOIN embeddings b ON y.vec_id = b.vec_id)
+         |SELECT CAST(cell AS BIGINT) AS cell, vec_a, vec_b,
+         |       round(score, 6) AS score
+         |FROM pairs WHERE score >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic_keep" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${cosineSql("a.embedding", "b.embedding")} AS score
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN embeddings a ON x.vec_id = a.vec_id
+         |  JOIN embeddings b ON y.vec_id = b.vec_id),
+         |dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE score >= 0.4)
+         |SELECT CAST(a2.cell AS BIGINT) AS cell, count(*) AS n,
+         |       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM a2 LEFT JOIN dropped d USING (vec_id)
+         |GROUP BY a2.cell ORDER BY cell""".stripMargin
   )
 }

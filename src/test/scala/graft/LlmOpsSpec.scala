@@ -139,6 +139,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
+  test("dedup_semantic: within-cell pairs ⊆ exact all-pairs, keep counts reconcile") {
+    val exact = Similarity.allPairsNeardup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = run("dedup_semantic").collect()
+    assert(sem.nonEmpty, "semantic dedup found no pairs")
+    // cluster restriction only prunes candidates — every reported pair
+    // is verified on the full vectors, so scores match the exact scan
+    sem.foreach { r =>
+      val pair = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(exact.get(pair).contains(r.getAs[Double]("score")),
+        s"$pair not in exact all-pairs with same score")
+    }
+    // the drop decision: population partitions into cells, survivors =
+    // population minus distinct vec_b's of the pair list (per cell)
+    val keep = run("dedup_semantic_keep").collect()
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(keep.map(_.getAs[Long]("n")).sum === corpus)
+    val droppedTotal = sem.map(_.getAs[Long]("vec_b")).distinct.length
+    assert(keep.map(r => r.getAs[Long]("n") - r.getAs[Long]("n_keep")).sum === droppedTotal)
+    keep.foreach(r => assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n")))
+  }
+
   test("ann_multiprobe_topk dominates single-bucket search, scores stay exact") {
     val exact = run("ann_cosine_topk").collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("score")).toMap
