@@ -126,6 +126,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic dedup pair join is equi on cell — quadratic work stays in-cluster") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("dotproductfloat"), p) // exact verify on the codegen'd kernel
+  }
+
   test("similarity pair-joins use broadcast nested loop only on the tiny query side") {
     val p = plan("ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
