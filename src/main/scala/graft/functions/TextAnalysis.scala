@@ -288,6 +288,25 @@ object TextAnalysis {
         .withColumn("has_pii", col("n_emails") + col("n_digit_runs") > 0)
         .orderBy("doc_id")),
 
+    // PII redaction — the rewrite the scan gates: emails then long digit
+    // runs replaced by typed placeholders, applied in that order on both
+    // engines (emails may contain digits; placeholders contain neither,
+    // so the passes cannot interact). Narrow per-row transform: no
+    // shuffle, scales linearly, and the scan/redact pair is the
+    // detect-then-rewrite shape a real scrub pipeline ships.
+    "text_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>").as("clean_text"))
+        // placeholders actually emitted (a digit run swallowed by an email
+        // match counts once, as <EMAIL>) — counted on clean_text so the
+        // number always reconciles with the text shipped downstream
+        .withColumn("n_redacted",
+          expr("size(regexp_extract_all(clean_text, '<EMAIL>|<NUM>', 0))"))
+        .orderBy("doc_id")),
+
     // Repetition stats (Gopher-style quality rule): sentence count,
     // distinct sentences, and the most-repeated sentence's multiplicity.
     "text_repetition" -> ((s, dir) =>
@@ -440,6 +459,19 @@ object TextAnalysis {
         |       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
         |         + len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS has_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace is first-match-only by default — 'g' matches
+    // Spark's replace-all semantics
+    "text_pii_redact" ->
+      """WITH redacted AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |           '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       len(regexp_extract_all(clean_text, '<EMAIL>|<NUM>')) AS n_redacted
+        |FROM redacted ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH sents AS (

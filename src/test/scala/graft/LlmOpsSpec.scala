@@ -370,6 +370,29 @@ class LlmOpsSpec extends SparkSpec {
       assert(run(name).count() === n, s"$name row count")
   }
 
+  test("text_pii_redact: clean text carries no residual PII, counts reconcile with the scan") {
+    val redacted = run("text_pii_redact").collect()
+    assert(redacted.length.toLong === Tables.documents(spark, sf0001).count())
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+".r
+    val digits = "[0-9]{6,}".r
+    redacted.foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      assert(email.findFirstIn(clean).isEmpty, s"residual email in doc ${r.get(0)}")
+      assert(digits.findFirstIn(clean).isEmpty, s"residual digit run in doc ${r.get(0)}")
+      val placeholders = "<EMAIL>|<NUM>".r.findAllIn(clean).length
+      assert(r.getAs[Int]("n_redacted") === placeholders)
+    }
+    // detect→redact agreement: a doc is flagged by the scan iff the
+    // redactor rewrote something in it (digit runs inside an email are
+    // counted by the scan but swallowed into its <EMAIL>, so only the
+    // boolean — not the count — is comparable across the pair)
+    val flagged = run("text_pii_scan").select("doc_id", "has_pii").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    redacted.foreach { r =>
+      assert(flagged(r.getAs[Long]("doc_id")) === (r.getAs[Int]("n_redacted") > 0))
+    }
+  }
+
   test("dedup_substring_spans: one row per long-enough doc, sane fractions") {
     val rows = run("dedup_substring_spans").collect()
     val eligible = Tables.documents(spark, sf0001)
