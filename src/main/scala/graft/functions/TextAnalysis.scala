@@ -16,6 +16,23 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
+  /** Chunker geometry: 128-char windows every 96 chars (32 overlap). */
+  private val ChunkSize = 128
+  private val ChunkStep = 96
+
+  /** Overlapping fixed-size chunks, one row per (doc, window): starts
+    * from sequence() + posexplode — a narrow per-row fan-out, no shuffle.
+    */
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(ChunkStep))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("chunk_start"),
+        expr(s"substring(text, col + 1, $ChunkSize)").as("chunk"))
+
   /** Whitespace tokens (keeps parity with DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
@@ -307,6 +324,51 @@ object TextAnalysis {
           expr("size(regexp_extract_all(clean_text, '<EMAIL>|<NUM>', 0))"))
         .orderBy("doc_id")),
 
+    // Fixed-size overlapping chunking — the RAG / context-window prep
+    // step: 128-char windows every 96 chars (32-char overlap), chunk i
+    // covering [i*96, i*96+128). Chunk starts come from sequence() +
+    // posexplode — a narrow per-row fan-out (no shuffle, no window, no
+    // driver loop), so the op is embarrassingly parallel at any corpus
+    // size; output carries md5 + length per chunk, not the chunk text,
+    // keeping the result ~40 bytes/chunk however large the windows get.
+    // Empty docs emit one empty chunk (every doc stays represented);
+    // null text drops (explode and DuckDB's lateral both skip it).
+    "text_chunk_overlap" -> ((s, dir) =>
+      chunks(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Chunk-level exact dedup — the boilerplate detector: a 128-char
+    // window recurring across documents (headers, footers, license
+    // blurbs, templated intros) surfaces as one md5 key with n_docs ≥ 2.
+    // One uniform-key shuffle with map-side partial counts; the chunk
+    // text itself never leaves the map side (only its md5 travels).
+    "text_chunk_dups" -> ((s, dir) =>
+      chunks(s, dir)
+        .groupBy(md5(col("chunk")).as("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_md5")),
+
+    // Unicode NFC canonicalization (custom codegen'd Expression; DuckDB
+    // twin: nfc_normalize) — run before any fingerprint/dedup so that
+    // byte-different, visually-identical encodings collapse. The corpus
+    // here is ASCII (is_nfc all true — asserted in spec, where the
+    // non-ASCII semantics are exercised on combining-sequence literals);
+    // the oracle still pins the full cross-engine plumbing.
+    "text_nfc_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          NfcNormalize(col("text")).as("nfc_text"))
+        .select(col("doc_id"),
+          (col("text") === col("nfc_text")).as("is_nfc"),
+          length(col("nfc_text")).cast("long").as("nfc_len"),
+          md5(col("nfc_text")).as("nfc_md5"))
+        .orderBy("doc_id")),
+
     // Repetition stats (Gopher-style quality rule): sentence count,
     // distinct sentences, and the most-repeated sentence's multiplicity.
     "text_repetition" -> ((s, dir) =>
@@ -472,6 +534,42 @@ object TextAnalysis {
         |SELECT doc_id, clean_text,
         |       len(regexp_extract_all(clean_text, '<EMAIL>|<NUM>')) AS n_redacted
         |FROM redacted ORDER BY doc_id""".stripMargin,
+
+    // generate_series is inclusive on both ends, like Spark sequence()
+    // (the scalar list form — the table function rejects lateral column
+    // args); `//` keeps the chunk ordinal in integer arithmetic
+    "text_chunk_overlap" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, greatest(len(text) - 1, 0),
+         |                                $ChunkStep)) AS gs
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(gs // $ChunkStep AS BIGINT) AS chunk_id,
+         |       CAST(gs AS BIGINT) AS chunk_start,
+         |       len(substring(text, CAST(gs AS INT) + 1, $ChunkSize)) AS chunk_len,
+         |       md5(substring(text, CAST(gs AS INT) + 1, $ChunkSize)) AS chunk_md5
+         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_chunk_dups" ->
+      s"""WITH starts AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, greatest(len(text) - 1, 0),
+         |                                $ChunkStep)) AS gs
+         |  FROM documents)
+         |SELECT md5(substring(text, CAST(gs AS INT) + 1, $ChunkSize)) AS chunk_md5,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       count(*) AS n_occ
+         |FROM starts
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
+
+    "text_nfc_normalize" ->
+      """SELECT doc_id,
+        |       text = nfc_normalize(text) AS is_nfc,
+        |       len(nfc_normalize(text)) AS nfc_len,
+        |       md5(nfc_normalize(text)) AS nfc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH sents AS (

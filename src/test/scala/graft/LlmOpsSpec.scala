@@ -393,6 +393,83 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_chunk_overlap: chunks tile every doc and match a local recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = run("text_chunk_overlap").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === docs.filter(_._2 != null).keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    chunks.foreach { case (id, rows) =>
+      val text = docs(id)
+      // chunk count: one start every 96 chars over [0, len-1], min 1
+      assert(rows.length === math.max(text.length - 1, 0) / 96 + 1, s"doc $id")
+      rows.sortBy(_.getAs[Long]("chunk_id")).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        assert(r.getAs[Long]("chunk_start") === i * 96L)
+        val expect = text.slice(i * 96, i * 96 + 128)
+        assert(r.getAs[Long]("chunk_len") === expect.length.toLong)
+        val hex = md.digest(expect.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("chunk_md5") === hex, s"doc $id chunk $i")
+      }
+    }
+    // consecutive chunks overlap by 32 chars: union covers the doc exactly
+    val covered = chunks.map { case (id, rows) =>
+      id -> rows.map(r =>
+        r.getAs[Long]("chunk_start") + r.getAs[Long]("chunk_len")).max
+    }
+    covered.foreach { case (id, end) =>
+      assert(end === docs(id).length.toLong, s"doc $id tail coverage")
+    }
+  }
+
+  test("text_chunk_dups: matches a local recompute of repeated chunks") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val local = docs.filter(_._2 != null).flatMap { case (id, text) =>
+      (0 to math.max(text.length - 1, 0) by 96)
+        .map(st => (md.digest(text.slice(st, st + 128).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id))
+    }
+    val expect = local.groupBy(_._1)
+      .map { case (h, occ) => (h, occ.map(_._2).distinct.length, occ.length) }
+      .filter(_._2 >= 2).toSet
+    val got = run("text_chunk_dups").collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("n_docs").toInt,
+        r.getAs[Long]("n_occ").toInt)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "corpus has exact-dup docs; their chunks must collide")
+  }
+
+  test("text_nfc_normalize: composes combining sequences; corpus is already NFC") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    // e+COMBINING ACUTE → é; ANGSTROM SIGN → Å; ASCII unchanged; null → null
+    val in = Seq("é", "é", "Å", "plain ascii", null)
+    val out = in.toDF("s").select(NfcNormalize(col("s")).as("n"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out === Seq(Some("é"), Some("é"), Some("Å"),
+      Some("plain ascii"), None))
+    // idempotent: a second pass is the identity
+    val twice = in.toDF("s")
+      .select(NfcNormalize(NfcNormalize(col("s"))).as("n2"), NfcNormalize(col("s")).as("n1"))
+      .collect()
+    twice.foreach(r => assert(r.get(0) === r.get(1)))
+    // the synthetic corpus is ASCII: normalization must be the identity,
+    // so the query's md5 equals the raw-text md5 row for row
+    val q = run("text_nfc_normalize")
+    assert(q.filter(!col("is_nfc")).count() === 0)
+    val raw = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.collect().foreach(r =>
+      assert(r.getAs[String]("nfc_md5") === raw(r.getAs[Long]("doc_id"))))
+  }
+
   test("dedup_substring_spans: one row per long-enough doc, sane fractions") {
     val rows = run("dedup_substring_spans").collect()
     val eligible = Tables.documents(spark, sf0001)

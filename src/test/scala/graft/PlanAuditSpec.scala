@@ -199,4 +199,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length === 1,
       s"dataset card should read the corpus exactly once:\n$p")
   }
+
+  test("chunker is a narrow fan-out; chunk dedup shuffles only the md5 key") {
+    // the per-row sequence+posexplode fan-out must plan as Generate with
+    // NO hash exchange — the only Exchange allowed is the output sort's
+    // range partitioning (determinism, not data movement between ops)
+    val po = plan("text_chunk_overlap")
+    assert(po.contains("Generate"), po)
+    assert(!po.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$po")
+    // the boilerplate detector aggregates partially before its (uniform
+    // md5-key) exchange — chunk text never crosses the wire
+    val pd = plan("text_chunk_dups")
+    assert(pd.contains("Generate") && pd.contains("HashAggregate"), pd)
+    assert(pd.contains("partial"), s"missing map-side partial agg:\n$pd")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoop"), pd)
+  }
 }
