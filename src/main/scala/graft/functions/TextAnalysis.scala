@@ -353,6 +353,37 @@ object TextAnalysis {
         .filter(col("n_docs") >= 2)
         .orderBy("chunk_md5")),
 
+    // Per-source distribution divergence — the data-mixing diagnostic:
+    // how far each source's unigram distribution sits from the corpus
+    // mixture, as bucketed cross-entropy minus self-entropy (≈ KL), in
+    // the same EXACT integer bitlen(N)-bitlen(cnt) surprisal buckets as
+    // text_surprisal (no floating log to diverge across engines; the
+    // only doubles are two IEEE-exact BIGINT divisions, rounded). Two
+    // uniform token-key shuffles (corpus table, per-source table), one
+    // broadcast scalar total, final key bounded by the source taxonomy.
+    "text_source_divergence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val corpus = toks.groupBy("w").agg(count(lit(1)).as("cnt_c"))
+      val tot = toks.agg(count(lit(1)).as("n_c"))
+      val srcCnt = toks.groupBy("source", "w").agg(count(lit(1)).as("cnt_s"))
+      val srcTot = srcCnt.groupBy("source").agg(sum("cnt_s").as("n_s"))
+      srcCnt.join(corpus, "w").join(srcTot, "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("cnt_s"),
+          (length(bin(col("n_c"))) - length(bin(col("cnt_c")))).cast("long").as("bits_c"),
+          (length(bin(col("n_s"))) - length(bin(col("cnt_s")))).cast("long").as("bits_s"))
+        .groupBy("source")
+        .agg(sum(col("cnt_s")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt_s") * col("bits_c")).as("cross_bits"),
+          sum(col("cnt_s") * col("bits_s")).as("self_bits"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          round(col("cross_bits").cast("double") / col("n_tokens"), 6).as("avg_cross_bits"),
+          round(col("self_bits").cast("double") / col("n_tokens"), 6).as("avg_self_bits"),
+          (col("cross_bits") - col("self_bits")).as("kl_bits_sum"))
+        .orderBy("source")
+    }),
+
     // Unicode NFC canonicalization (custom codegen'd Expression; DuckDB
     // twin: nfc_normalize) — run before any fingerprint/dedup so that
     // byte-different, visually-identical encodings collapse. The corpus
@@ -563,6 +594,27 @@ object TextAnalysis {
          |FROM starts
          |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY chunk_md5""".stripMargin,
+
+    "text_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |corpus AS (SELECT w, count(*) AS cnt_c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_c FROM toks),
+        |src AS (SELECT source, w, count(*) AS cnt_s FROM toks GROUP BY 1, 2),
+        |srctot AS (SELECT source, CAST(sum(cnt_s) AS BIGINT) AS n_s
+        |           FROM src GROUP BY 1),
+        |j AS (
+        |  SELECT src.source, cnt_s,
+        |         length(bin(tot.n_c)) - length(bin(corpus.cnt_c)) AS bits_c,
+        |         length(bin(srctot.n_s)) - length(bin(cnt_s)) AS bits_s
+        |  FROM src JOIN corpus USING (w) JOIN srctot USING (source), tot)
+        |SELECT source,
+        |       CAST(sum(cnt_s) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(CAST(sum(cnt_s * bits_c) AS DOUBLE) / sum(cnt_s), 6) AS avg_cross_bits,
+        |       round(CAST(sum(cnt_s * bits_s) AS DOUBLE) / sum(cnt_s), 6) AS avg_self_bits,
+        |       CAST(sum(cnt_s * bits_c) - sum(cnt_s * bits_s) AS BIGINT) AS kl_bits_sum
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "text_nfc_normalize" ->
       """SELECT doc_id,

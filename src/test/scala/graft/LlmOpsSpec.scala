@@ -445,6 +445,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has exact-dup docs; their chunks must collide")
   }
 
+  test("text_source_divergence: one row per source, token mass conserved") {
+    val rows = run("text_source_divergence").collect()
+    val srcs = Tables.documents(spark, sf0001).select("source").distinct().count()
+    assert(rows.length.toLong === srcs)
+    val totalTokens = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ", -1))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      // true KL is >= 0; integer surprisal buckets err by at most one
+      // bit on each side, so the bucketed sum can undershoot by at most
+      // 2 bits per token, never more
+      assert(r.getAs[Long]("kl_bits_sum") >= -2 * r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("text_nfc_normalize: composes combining sequences; corpus is already NFC") {
     import spark.implicits._
     import graft.functions.NfcNormalize
