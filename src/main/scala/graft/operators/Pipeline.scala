@@ -76,6 +76,41 @@ object Pipeline {
     // artifact must never depend on partition order. One partial-agg
     // groupBy on a bounded categorical key: a single scan + one tiny
     // exchange at any corpus size.
+    // MERGEABLE dataset card — the incremental form: per-(source, shard)
+    // partials carry algebraic measures (counts, sums, min/max) plus a
+    // language SET for the one holistic measure, then a merge step folds
+    // shards into the published card. This is the artifact shape a
+    // 100 TB pipeline persists per ingest batch: cards for new shards
+    // are computed in isolation and the merge is re-run over partials
+    // (shards × sources rows, not documents), so the corpus is never
+    // re-scanned. Output ≡ pipeline_dataset_card (same oracle SQL);
+    // the set-union distinct is order-insensitive, so the card stays
+    // integer-exact and partition-count invariant.
+    "pipeline_card_mergeable" -> ((s, dir) => {
+      val partials = Tables.documents(s, dir)
+        .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+        .groupBy("source", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          collect_set(col("lang")).as("langs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_total"),
+          sum(when(TextAnalysis.qualityScore(col("text")) > 0.5, 1L).otherwise(0L)).as("n_keep"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      partials
+        .groupBy("source")
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          size(array_distinct(flatten(collect_list(col("langs"))))).cast("long").as("n_langs"),
+          sum(col("chars_total")).as("chars_total"),
+          sum(col("tokens_total")).as("tokens_total"),
+          sum(col("n_keep")).as("n_keep"),
+          min(col("min_chars")).as("min_chars"),
+          max(col("max_chars")).as("max_chars"))
+        .orderBy("source")
+    }),
+
     "pipeline_dataset_card" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("source")
@@ -124,13 +159,18 @@ object Pipeline {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM off GROUP BY 1, 2, 3 ORDER BY lang, bucket, seq_id""".stripMargin,
 
-    "pipeline_dataset_card" ->
-      s"""SELECT source, count(*) AS n_docs,
-         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
-         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
-         |       CAST(sum(CASE WHEN ${TextAnalysis.qualitySql} > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    "pipeline_dataset_card" -> cardSql,
+
+    // the merge over per-shard partials must publish the very same card
+    "pipeline_card_mergeable" -> cardSql
   )
+
+  private lazy val cardSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+       |       CAST(sum(CASE WHEN ${TextAnalysis.qualitySql} > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -445,6 +445,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has exact-dup docs; their chunks must collide")
   }
 
+  test("pipeline_card_mergeable: shard-merge publishes the exact direct card") {
+    val direct = run("pipeline_dataset_card").collect().map(_.toSeq).toSeq
+    val merged = run("pipeline_card_mergeable").collect().map(_.toSeq).toSeq
+    assert(merged === direct)
+  }
+
   test("text_source_divergence: one row per source, token mass conserved") {
     val rows = run("text_source_divergence").collect()
     val srcs = Tables.documents(spark, sf0001).select("source").distinct().count()
