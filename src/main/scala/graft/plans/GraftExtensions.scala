@@ -83,6 +83,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
         (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
     ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_int"),
+        new ExpressionInfo(classOf[graft.functions.DotProductInt].getName, "dot_product_int"),
+        (children: Seq[Expression]) => graft.functions.DotProductInt(children(0), children(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("code_lookup_sum"),
+        new ExpressionInfo(classOf[graft.functions.CodeLookupSum].getName, "code_lookup_sum"),
+        (children: Seq[Expression]) => graft.functions.CodeLookupSum(children(0), children(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+        (children: Seq[Expression]) => graft.functions.NfcNormalize(children.head)))
+    ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_items_sketch"),
         new ExpressionInfo(classOf[graft.functions.FreqItemsSketch].getName, "freq_items_sketch"),
         (children: Seq[Expression]) => {

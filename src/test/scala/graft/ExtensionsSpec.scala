@@ -32,6 +32,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) > 0))
   }
 
+  test("int-code kernels and nfc_normalize are callable from SQL") {
+    import spark.implicits._
+    Seq((Seq(1, 2, 3), Seq(4, 5, 6))).toDF("a", "b").createOrReplaceTempView("codes_sql")
+    assert(spark.sql("SELECT dot_product_int(a, b) FROM codes_sql")
+      .collect()(0).getLong(0) === 32L)
+    Seq((Seq(0, 1), Seq(Seq(10L, 20L), Seq(30L, 40L)))).toDF("codes", "tbl")
+      .createOrReplaceTempView("pq_sql")
+    assert(spark.sql("SELECT code_lookup_sum(codes, tbl) FROM pq_sql")
+      .collect()(0).getLong(0) === 50L)
+    assert(spark.sql("SELECT nfc_normalize('e\\u0301')")
+      .collect()(0).getString(0) === "é")
+  }
+
   test("the rule does not fire on non-float arrays or different lambdas") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
