@@ -41,6 +41,26 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSeq === out.collect().map(_.toSeq).toSeq)
   }
 
+  test("schema evolution: mergeSchema unifies ingest batches that added a column") {
+    // the standard corpus-ingest reality: a later batch starts carrying a
+    // new column; the reader must surface the union schema with nulls for
+    // the old batch, not fail or silently drop the column
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(unified.schema.fieldNames.toSet === Set("doc_id", "text", "lang", "batch"))
+    val rows = unified.orderBy("doc_id")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some("en"))))
+    // and the evolved column predicate still prunes at the scan
+    val plan = unified.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"), plan)
+  }
+
   test("text sink round-trip: wordcount out as `k --- v` lines and back") {
     // the reference's own sink shape: its Spark twin saveAsTextFiles the
     // counts (spark_app/spark_wordcount.py:46), its master dumps
