@@ -277,6 +277,37 @@ object TextAnalysis {
         .orderBy("round")
     }),
 
+    // BPE ENCODE — the apply side of text_bpe_train: the two trained
+    // merges (derived in-plan from the same pair statistics, so trainer
+    // and encoder can never drift) are applied to every document and the
+    // per-doc symbol counts reported after each round. The merge table
+    // rides as a broadcast scalar; encoding itself is a narrow per-row
+    // rewrite, so the pass scales with the scan like any tokenizer
+    // preprocessor. 'A'/'B' stand in for the PUA merge symbols (the
+    // corpus is lowercase — asserted at train time).
+    "text_bpe_encode" -> ((s, dir) => {
+      val top1 = stagedPairCounts(s, dir)
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .select(col("pair").as("p1"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val m1 = docs.crossJoin(broadcast(top1))
+        .select(col("doc_id"), col("text"), expr("replace(text, p1, 'A')").as("t1"))
+      val top2 = m1
+        .filter(length(col("t1")) >= 2)
+        .select(explode(sequence(lit(1),
+          least(length(col("t1")) - 1, lit(8192)))).as("i"), col("t1"))
+        .select(expr("substring(t1, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+        .select(col("pair").as("p2"))
+      m1.crossJoin(broadcast(top2))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len0"),
+          length(col("t1")).cast("long").as("len1"),
+          length(expr("replace(t1, p2, 'B')")).cast("long").as("len2"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: training docs sharing 3-gram shingles
     // with a deterministic "eval" subset (doc_id % 97 == 0) — the
     // n-gram-overlap contamination check every pretraining pipeline
@@ -536,6 +567,24 @@ object TextAnalysis {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), pair, cnt FROM p2t
         |ORDER BY round""".stripMargin,
+
+    "text_bpe_encode" ->
+      """WITH p1t AS (
+        |  SELECT substr(text, i, 2) AS pair, count(*) AS cnt
+        |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+        |  WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |m AS (SELECT doc_id, text,
+        |             replace(text, (SELECT pair FROM p1t), 'A') AS t1
+        |      FROM documents),
+        |p2t AS (
+        |  SELECT substr(t1, i, 2) AS pair, count(*) AS cnt
+        |  FROM m, (SELECT unnest(generate_series(1, 8192)) AS i)
+        |  WHERE length(t1) >= 2 AND i <= least(length(t1) - 1, 8192)
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT doc_id, length(text) AS len0, length(t1) AS len1,
+        |       length(replace(t1, (SELECT pair FROM p2t), 'B')) AS len2
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "dedup_decontaminate" ->
       s"""WITH ${graft.operators.Dedup.shingleCte},

@@ -445,6 +445,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has exact-dup docs; their chunks must collide")
   }
 
+  test("text_bpe_encode: monotone shrink, consistent with the trained merges") {
+    val rows = run("text_bpe_encode").collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("len0") >= r.getAs[Long]("len1"), s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("len1") >= r.getAs[Long]("len2"), s"doc ${r.get(0)}")
+    }
+    // each applied merge shrinks a doc by one char per NON-OVERLAPPING
+    // occurrence, so corpus savings are positive and bounded by the
+    // (overlap-counting) trained pair count of that round
+    val train = run("text_bpe_train").collect()
+      .sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("pair_count"))
+    val saved1 = rows.map(r => r.getAs[Long]("len0") - r.getAs[Long]("len1")).sum
+    val saved2 = rows.map(r => r.getAs[Long]("len1") - r.getAs[Long]("len2")).sum
+    assert(saved1 > 0 && saved1 <= train(0))
+    assert(saved2 > 0 && saved2 <= train(1))
+  }
+
   test("pipeline_card_mergeable: shard-merge publishes the exact direct card") {
     val direct = run("pipeline_dataset_card").collect().map(_.toSeq).toSeq
     val merged = run("pipeline_card_mergeable").collect().map(_.toSeq).toSeq
