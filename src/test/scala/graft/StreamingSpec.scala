@@ -198,6 +198,57 @@ class StreamingSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, sf0001).count() > 0, s"$name empty")
   }
 
+  test("late data behind the watermark is dropped from its closed window") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    // stage single parquet FILES (not directories) so maxFilesPerTrigger=1
+    // gives two ordered micro-batches: mtime decides source order
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-late-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dest)
+    }
+    val in = Files.createTempDirectory("graft-late-in")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1: window [00:00,00:10) gets 2 events; the 02:00 event drives
+    // the watermark (delay 10 min) far past that window's end
+    writeOne(Seq((ts(1), 1L), (ts(2), 1L), (ts(120), 1L)).toDF("ts", "v"),
+      in.resolve("f1.parquet"))
+    Thread.sleep(1100) // strictly later mtimes => deterministic batch order
+    // batch 2: an on-time event; the closed [00:00,00:10) window is
+    // emitted and its state EVICTED during this batch (watermark 01:50).
+    // A late row arriving in the same batch as the eviction would still
+    // merge into live state — the eviction must come first to observe
+    // the drop, which is itself part of the semantics being pinned.
+    writeOne(Seq((ts(125), 1L)).toDF("ts", "v"), in.resolve("f2.parquet"))
+    Thread.sleep(1100)
+    // batch 3: the poison row — 00:03 behind the 01:50 watermark. If it
+    // were admitted it would re-open the evicted window and emit a
+    // spurious second 00:00 row (total 100).
+    writeOne(Seq((ts(3), 100L)).toDF("ts", "v"), in.resolve("f3.parquet"))
+    val schema = new StructType().add("ts", TimestampType).add("v", LongType)
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum("v").as("total"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("total"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_drop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.map(p =>
+      (p.numInputRows, p.eventTime.get("watermark"))).toSeq
+    val got = spark.table("late_drop")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // exactly ONE row for the closed window, without the late 100: the
+    // late row neither re-opened the evicted window nor re-emitted it
+    assert(got.filter(_._1 == "00:00") === Seq("00:00" -> 2L),
+      s"late row leaked: $got (batches: $batches)")
+  }
+
   test("stream-stream interval join ≡ batch join on the same events") {
     val batchEvents = Tables.events(spark, sf0001)
     val schema = batchEvents.schema
