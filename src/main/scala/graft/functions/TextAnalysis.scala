@@ -22,16 +22,24 @@ object TextAnalysis {
 
   /** Overlapping fixed-size chunks, one row per (doc, window): starts
     * from sequence() + posexplode — a narrow per-row fan-out, no shuffle.
+    * Chunk i covers [i*step, i*step + size); empty docs emit one empty
+    * chunk, null text emits nothing.
     */
-  private def chunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def chunksOf(docs: DataFrame, size: Int, step: Int): DataFrame = {
+    require(size >= 1 && step >= 1 && step <= size,
+      s"bad chunk geometry: size=$size step=$step")
+    docs
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0),
-          greatest(length(col("text")) - 1, lit(0)), lit(ChunkStep))))
+          greatest(length(col("text")) - 1, lit(0)), lit(step))))
       .select(col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
         col("col").cast("long").as("chunk_start"),
-        expr(s"substring(text, col + 1, $ChunkSize)").as("chunk"))
+        expr(s"substring(text, col + 1, $size)").as("chunk"))
+  }
+
+  private def chunks(s: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documents(s, dir), ChunkSize, ChunkStep)
 
   /** Whitespace tokens (keeps parity with DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ", -1)

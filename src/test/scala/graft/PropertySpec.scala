@@ -82,4 +82,31 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("chunker tiles any doc under any window/stride geometry") {
+    // the invariants text_chunk_overlap's fixed 128/96 instance relies
+    // on, proven over arbitrary text and geometry: chunk i sits at
+    // i*step, holds exactly text[i*step, i*step+size), the chunk count
+    // is floor(max(len-1,0)/step)+1, and the last chunk ends at len
+    val geomGen = Gen.chooseNum(1, 20)
+    val textsGen = Gen.listOfN(6, Gen.asciiPrintableStr)
+    check("chunk-tile", Prop.forAll(textsGen, geomGen, geomGen) { (texts, a, b) =>
+      val size = math.max(a, b)
+      val step = math.min(a, b)
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val byDoc = graft.functions.TextAnalysis.chunksOf(df, size, step)
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.forall { case (t, i) =>
+        val rows = byDoc(i.toLong).sortBy(_.getLong(1))
+        rows.length == math.max(t.length - 1, 0) / step + 1 &&
+          rows.zipWithIndex.forall { case (r, j) =>
+            r.getLong(2) == j.toLong * step &&
+              r.getString(3) == t.slice(j * step, j * step + size)
+          } &&
+          rows.last.getLong(2) + rows.last.getString(3).length == t.length.toLong
+      }
+    })
+  }
 }
