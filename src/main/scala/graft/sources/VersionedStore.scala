@@ -60,6 +60,25 @@ object VersionedStore {
     v
   }
 
+  /** Latest-wins upsert — the MERGE INTO shape without a table format:
+    * incoming rows replace same-key rows of the latest snapshot, all
+    * other rows carry forward, and the result lands as the next
+    * immutable version (prior versions stay readable — time travel is
+    * free). One left-anti join on the key (an ingest batch is usually
+    * broadcast-able against the corpus scan) plus a union; no file in
+    * place is ever rewritten, so object stores and concurrent readers
+    * are safe. Caller supplies key-distinct incoming rows (the usual
+    * CDC-batch contract). */
+  def upsert(df: DataFrame, base: String, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val merged =
+      if (listVersions(base).isEmpty) df
+      else readLatest(df.sparkSession, base)
+        .join(df.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(df)
+    write(merged, base)
+  }
+
   def readVersion(spark: SparkSession, base: String, version: Long): DataFrame =
     spark.read.parquet(s"$base/v=$version")
 

@@ -31,6 +31,24 @@ class VersionedStoreSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("upsert: latest-wins merge lands as a new version, history intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-upsert").toString
+    // bootstrap upsert on an empty store = plain write
+    assert(VersionedStore.upsert(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base, Seq("k")) === 1)
+    // overlap key 2 replaced, key 3 inserted, key 1 carried forward
+    assert(VersionedStore.upsert(
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), base, Seq("k")) === 2)
+    val latest = VersionedStore.readLatest(spark, base)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(latest === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // time travel: version 1 still reads back pre-merge
+    val v1 = VersionedStore.readVersion(spark, base, 1L)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(v1 === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("deleteVersion removes exactly one snapshot; idempotent on misses") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vdel").toString
