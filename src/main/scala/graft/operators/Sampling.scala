@@ -93,6 +93,31 @@ object Sampling {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .orderBy("source", "rk")
+    }),
+
+    // EPOCH-MIX upsampling — the other half of data mixing (temperature
+    // sampling caps the dominant slices; epoch repetition lifts the
+    // minority ones — here the language axis, where the corpus is
+    // genuinely imbalanced): each language's docs repeat
+    // epochs = ceil(sqrt(n_max/n)), capped at 4 (past a few epochs
+    // repetition hurts more than it helps). Repetition is a per-row
+    // sequence explode at scan parallelism — the only exchanges are two
+    // bounded lang-key aggregates; sqrt and the division are IEEE-exact,
+    // so the epoch table is bit-identical cross-engine.
+    "sample_epoch_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ep = counts.crossJoin(broadcast(counts.agg(max("n_docs").as("n_max"))))
+        .select(col("lang"), col("n_docs"),
+          least(ceil(sqrt(col("n_max").cast("double") /
+            col("n_docs").cast("double"))).cast("long"), lit(4L)).as("epochs"))
+      docs.join(broadcast(ep), "lang")
+        .select(col("lang"), col("n_docs"), col("epochs"),
+          col("doc_id"), explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .groupBy("lang", "n_docs", "epochs")
+        .agg(count(lit(1)).as("n_epoch_rows"),
+          countDistinct(col("doc_id")).as("n_unique"))
+        .orderBy("lang")
     })
   )
 
@@ -135,6 +160,23 @@ object Sampling {
          |           PARTITION BY source
          |           ORDER BY ${PortableHash.sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT) AS rk
          |  FROM documents)
-         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "sample_epoch_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |mx AS (SELECT max(n_docs) AS n_max FROM counts),
+        |ep AS (
+        |  SELECT lang, n_docs,
+        |         least(CAST(ceil(sqrt(CAST(n_max AS DOUBLE) / n_docs)) AS BIGINT),
+        |               4) AS epochs
+        |  FROM counts, mx),
+        |reps AS (
+        |  SELECT d.lang, ep.n_docs, ep.epochs, d.doc_id,
+        |         unnest(generate_series(1, ep.epochs)) AS epoch
+        |  FROM documents d JOIN ep USING (lang))
+        |SELECT lang, n_docs, epochs, count(*) AS n_epoch_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique
+        |FROM reps GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin
   )
 }

@@ -463,6 +463,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(saved2 > 0 && saved2 <= train(1))
   }
 
+  test("sample_epoch_mix: repetition budget bounded, mass = n_docs * epochs") {
+    val rows = run("sample_epoch_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("epochs")
+      assert(e >= 1L && e <= 4L)
+      assert(r.getAs[Long]("n_epoch_rows") === r.getAs[Long]("n_docs") * e)
+      assert(r.getAs[Long]("n_unique") === r.getAs[Long]("n_docs"))
+    }
+    // the dominant language never repeats; the imbalanced corpus must
+    // actually exercise the upsampling branch somewhere
+    assert(rows.maxBy(_.getAs[Long]("n_docs")).getAs[Long]("epochs") === 1L)
+    assert(rows.exists(_.getAs[Long]("epochs") >= 2L), "no minority lang upsampled")
+  }
+
   test("pipeline_card_mergeable: shard-merge publishes the exact direct card") {
     val direct = run("pipeline_dataset_card").collect().map(_.toSeq).toSeq
     val merged = run("pipeline_card_mergeable").collect().map(_.toSeq).toSeq
