@@ -44,7 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     // the event taxonomy — bounded categoricals like language (their
     // domains grow with the schema, not the data volume), so a
     // per-source/per-type aggregate is one row per category, not per row
-    val fixedGeometry = Set("dim", "sub", "cent_id", "source", "event_type")
+    val fixedGeometry = Set("dim", "sub", "cent_id", "source", "event_type", "lang")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
       analyzed.foreach {
