@@ -98,7 +98,7 @@ object Clustering {
     * assignment on BOTH join sides, and unstaged each reference re-ran
     * the full two-round Lloyd training — exactly the artifact a real
     * pipeline persists between "train index" and "serve queries". */
-  private[operators] def trainedCells(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trainedCells(s: SparkSession, dir: String): DataFrame =
     graft.core.Staged(s, s"$dir|ivf_trained_cells") {
       val (emb, cents1) = trained(s, dir)
       assign(emb, cents1).select(col("vec_id"), col("cell"))

@@ -520,6 +520,28 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // FULL OUTER: per-nation deep-debt customers vs the full supplier
+    // roster — unequal key coverage on both sides, so null extensions
+    // appear in both directions (at sf0.001: supplier-only nations AND
+    // customer-only nations). Both inputs are grouped to one row per
+    // nation BEFORE the join, so the full-outer shuffle moves ≤50 rows
+    // at any scale factor; no broadcast hint — full outer cannot
+    // broadcast (both sides must see all keys), and Spark plans the
+    // correct SortMergeJoin on its own.
+    "join_full_outer" -> ((s, dir) => {
+      val debt = Tables.customer(s, dir).filter(col("c_acctbal") < -500.0)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_debt_cust"))
+      val sup = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          graft.functions.Decimals.rsum2(col("s_acctbal")).as("supp_bal"))
+      debt.join(sup, Seq("nationkey"), "full_outer")
+        .select(col("nationkey").cast("long").as("nationkey"),
+          col("n_debt_cust"), col("n_supp"), col("supp_bal"))
+        .orderBy("nationkey")
+    }),
+
     // Equi key + range residual: items shipped within 90 days of order
     // date. The equi key keeps this a hash join (range-only joins
     // degenerate to BNLJ — avoided by construction).
@@ -1122,6 +1144,18 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH debt AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_debt_cust
+        |  FROM customer WHERE c_acctbal < -500 GROUP BY 1),
+        |sup AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+        |         CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS supp_bal
+        |  FROM supplier GROUP BY 1)
+        |SELECT CAST(nationkey AS BIGINT) AS nationkey, n_debt_cust, n_supp, supp_bal
+        |FROM debt FULL JOIN sup USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
 
     "join_range" ->
       """SELECT o_orderstatus, count(*) AS n_fast,

@@ -118,6 +118,33 @@ object Sampling {
         .agg(count(lit(1)).as("n_epoch_rows"),
           countDistinct(col("doc_id")).as("n_unique"))
         .orderBy("lang")
+    }),
+
+    // Cluster-balanced diversity sampling (the SemDeDup-family
+    // subsampling pass): cap every trained k-means cell at a fixed
+    // quota so dense regions of embedding space are downsampled and
+    // sparse regions survive intact. Selection within a cell is the
+    // deterministic md5 rank of vec_id (tie→vec_id), never rand().
+    // Scale shape: reuses the staged trained-cells artifact (train
+    // once, reuse everywhere); the rank window partitions on cell —
+    // per-cell population stays bounded as k grows with the corpus
+    // (same argument as dedup_semantic's within-cell join), so no
+    // single window task can blow up. One shuffle on cell, then the
+    // audit aggregate on the same key — Catalyst reuses the exchange.
+    "sample_cluster_diverse" -> ((s, dir) => {
+      val quota = 8
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+        .orderBy(pmod(PortableHash.hash60(col("vec_id").cast("string")),
+          lit(1000000L)), col("vec_id"))
+      Clustering.trainedCells(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rk") <= quota, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("rk") <= quota, col("vec_id"))).as("keep_id_sum"))
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          col("n_keep"), col("keep_id_sum"))
+        .orderBy("cell")
     })
   )
 
@@ -177,6 +204,21 @@ object Sampling {
         |  FROM documents d JOIN ep USING (lang))
         |SELECT lang, n_docs, epochs, count(*) AS n_epoch_rows,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique
-        |FROM reps GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin
+        |FROM reps GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
+
+    // Replays the SAME two-round Lloyd training CTE as kmeans_lloyd /
+    // ann_ivf_trained_topk / dedup_semantic, then the md5 rank.
+    "sample_cluster_diverse" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |rk AS (
+         |  SELECT cell, vec_id,
+         |         row_number() OVER (PARTITION BY cell ORDER BY
+         |           ${PortableHash.sql("CAST(vec_id AS VARCHAR)")} % 1000000,
+         |           vec_id) AS rk
+         |  FROM a2)
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+         |       CAST(sum(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |       CAST(sum(CASE WHEN rk <= 8 THEN vec_id END) AS BIGINT) AS keep_id_sum
+         |FROM rk GROUP BY cell ORDER BY cell""".stripMargin
   )
 }

@@ -207,6 +207,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sample_cluster_diverse: per-cell quota, independent JVM-md5 replay agrees") {
+    val rows = run("sample_cluster_diverse").collect()
+    assert(rows.nonEmpty)
+    // quota semantics: n_keep = min(n, 8) in every cell
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") === math.min(r.getAs[Long]("n"), 8L),
+        s"cell ${r.getAs[Long]("cell")} quota violated")
+    }
+    // cells and populations are exactly kmeans_lloyd's final assignment
+    val km = run("kmeans_lloyd").collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    assert(rows.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap === km)
+    // independent replay of the selection: rank each cell's vec_ids by
+    // java.security md5 (not Spark's md5 expression) and re-derive the
+    // kept-id checksum
+    val cells = graft.operators.Clustering.trainedCells(spark, sf0001)
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val expect = cells.groupBy(_._1).map { case (cell, vs) =>
+      val kept = vs.map(_._2).sortBy(v => (h60(v.toString) % 1000000L, v)).take(8)
+      cell.toLong -> kept.sum
+    }
+    val got = rows.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("keep_id_sum")).toMap
+    assert(got === expect)
+  }
+
   test("layout_zorder: buckets tile the corpus into bounded rectangles") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))

@@ -177,6 +177,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
   }
 
+  test("join_full_outer: null extensions both directions, per-side totals conserved") {
+    import graft.core.Tables
+    val rows = run("join_full_outer").collect()
+    val iDebt = rows.head.fieldIndex("n_debt_cust")
+    val iSupp = rows.head.fieldIndex("n_supp")
+    // unequal key coverage must survive the join in BOTH directions
+    assert(rows.count(_.isNullAt(iDebt)) > 0, "no supplier-only nations")
+    assert(rows.count(_.isNullAt(iSupp)) > 0, "no customer-only nations")
+    // the full outer drops nothing: each side's counts re-total to its input
+    val suppTotal = rows.filterNot(_.isNullAt(iSupp)).map(_.getLong(iSupp)).sum
+    assert(suppTotal === Tables.supplier(spark, sf0001).count())
+    val debtTotal = rows.filterNot(_.isNullAt(iDebt)).map(_.getLong(iDebt)).sum
+    assert(debtTotal === Tables.customer(spark, sf0001)
+      .filter(col("c_acctbal") < -500.0).count())
+    // coalesced key is unique and never null
+    val keys = rows.map(_.getAs[Long]("nationkey"))
+    assert(keys.distinct.length === rows.length)
+  }
+
   test("all relational queries return rows at sf0.001") {
     for (name <- Relational.queriesKeys) {
       assert(run(name).count() > 0, s"$name empty")
