@@ -200,6 +200,16 @@ class PlanAuditSpec extends SparkSpec {
       s"dataset card should read the corpus exactly once:\n$p")
   }
 
+  test("cluster-diverse sampling shuffles once: window and audit agg share the cell key") {
+    // rank-within-cell window hash-partitions on cell; the quota audit
+    // groupBy("cell") must reuse that partitioning, not re-shuffle —
+    // the only other Exchange is the output orderBy's range partitioning
+    val p = plan("sample_cluster_diverse")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"window + groupBy on the same key must share one exchange:\n$p")
+  }
+
   test("chunker is a narrow fan-out; chunk dedup shuffles only the md5 key") {
     // the per-row sequence+posexplode fan-out must plan as Generate with
     // NO hash exchange — the only Exchange allowed is the output sort's
