@@ -147,6 +147,46 @@ object Graph {
         frontier = next
       }
       visited.orderBy("depth", "node")
+    }),
+
+    // MAJORITY LABEL PROPAGATION — community detection, the fourth
+    // iterative primitive (power rank = centrality, triangles =
+    // density, BFS = reachability, LPA = partition). Runs on the same
+    // top-3-out-edges subgraph as BFS (the full trade graph is
+    // near-complete, one giant community — the k-NN restriction gives
+    // it structure), symmetrized with parallel edges merged so each
+    // unordered pair carries one weight. Two SYNCHRONOUS rounds: every
+    // node simultaneously adopts the label with the largest incident
+    // weight among its neighbors, ties to the lexicographically
+    // smallest label — fully deterministic, no float, no rand. Each
+    // round is one equi-join on the neighbor key + one (node, lbl)
+    // aggregation + a per-node argmax window (bounded by degree),
+    // with the same per-round lineage cut as the other loops. The
+    // oracle unrolls both rounds over the identical edge CTE.
+    "graph_label_prop" -> ((s, dir) => {
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("w"), col("dst"))
+      val topk = stagedTradeEdges(s, dir)
+        .withColumn("rk", row_number().over(wnd)).filter(col("rk") <= 3)
+        .select("src", "dst", "w")
+      val cut = CheckpointStrategy.Local
+      val und = cut.cut(topk
+        .unionByName(topk.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
+      var labels = cut.cut(und.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+      for (_ <- 1 to 2) {
+        val argmax = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(desc("wsum"), col("lbl"))
+        labels = cut.cut(und
+          .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("node"), col("lbl"))
+          .agg(sum(col("w")).as("wsum"))
+          .withColumn("rk", row_number().over(argmax))
+          .filter(col("rk") === 1)
+          .select("node", "lbl"))
+      }
+      labels.orderBy("node")
     })
   )
 
@@ -211,6 +251,38 @@ object Graph {
          |  FROM bfs b JOIN sparse s ON b.node = s.src
          |  WHERE b.depth < $MaxBfsDepth)
          |SELECT node, CAST(min(depth) AS INT) AS depth
-         |FROM bfs GROUP BY 1 ORDER BY depth, node""".stripMargin
+         |FROM bfs GROUP BY 1 ORDER BY depth, node""".stripMargin,
+
+    "graph_label_prop" ->
+      s"""WITH $edgeCte,
+         |topk AS (
+         |  SELECT src, dst, w FROM (
+         |    SELECT src, dst, w,
+         |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+         |    FROM e) WHERE rk <= 3),
+         |und AS (
+         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM topk
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst, w FROM topk)
+         |  GROUP BY 1, 2),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+         |s1 AS (
+         |  SELECT u.src AS node, l.lbl, sum(u.w) AS wsum
+         |  FROM und u JOIN l0 l ON u.dst = l.node GROUP BY 1, 2),
+         |l1 AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node ORDER BY wsum DESC, lbl) AS rk
+         |    FROM s1) WHERE rk = 1),
+         |s2 AS (
+         |  SELECT u.src AS node, l.lbl, sum(u.w) AS wsum
+         |  FROM und u JOIN l1 l ON u.dst = l.node GROUP BY 1, 2),
+         |l2 AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node ORDER BY wsum DESC, lbl) AS rk
+         |    FROM s2) WHERE rk = 1)
+         |SELECT node, lbl FROM l2 ORDER BY node""".stripMargin
   )
 }

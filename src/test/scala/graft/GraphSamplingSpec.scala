@@ -45,6 +45,34 @@ class GraphSamplingSpec extends SparkSpec {
     assert(got === expected.toMap, "per-node triangle counts diverge from brute force")
   }
 
+  test("graph_label_prop matches a plain-Scala two-round replay on the sparse graph") {
+    // rebuild the sparse symmetrized graph from the staged edges and run
+    // the same two synchronous majority rounds in local Scala — an
+    // implementation-independent replay of the distributed loop
+    val edges = Graph.stagedTradeEdges(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val topk = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(3)
+    }
+    val und = (topk ++ topk.map(e => (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case ((s0, d0), es) => (s0, d0, es.map(_._3).sum) }
+      .toSeq
+    var lbl: Map[String, String] = und.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      lbl = und.groupBy(_._1).map { case (node, es) =>
+        val byLbl = es.groupBy(e => lbl(e._2)).view.mapValues(_.map(_._3).sum)
+        node -> byLbl.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }
+    }
+    val got = SparkEntry.queries("graph_label_prop")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === lbl)
+    // every label is itself a node, and propagation coarsened the
+    // partition: no more communities than nodes
+    assert(got.values.toSet.subsetOf(got.keySet))
+    assert(got.values.toSet.size <= got.size)
+  }
+
   test("trade graph power rank is stable across runs and nonempty") {
     val a = Graph.queries("graph_power_rank")(spark, sf0001).collect()
     val b = Graph.queries("graph_power_rank")(spark, sf0001).collect()
