@@ -421,6 +421,34 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .orderBy("fingerprint")),
 
+    // EDIT-DISTANCE ENTITY RESOLUTION — the fuzzy-match family the
+    // token-set methods (jaccard/minhash/simhash) don't cover: on SHORT
+    // strings (names, titles, SKUs) a one-character typo wrecks the
+    // shingle set, and Levenshtein is the standard metric. Classic
+    // blocking shape: candidate pairs only within a brand block, and
+    // only where the cheap necessary condition |len(a)−len(b)| ≤ thr
+    // holds — both prune BEFORE the quadratic-per-pair edit-distance
+    // verify, the expensive kernel. At 100 TB the blocking key bounds
+    // every task: candidate count ∝ Σ block², never N² (the standard
+    // ER decomposition; finer keys — sorted-neighborhood, q-gram
+    // prefixes — drop in as the blocking column without changing the
+    // plan). Output is the per-(brand, distance) pair census with an
+    // id checksum — ≤ |brands|·(thr+1) rows at any scale.
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      val thr = 2
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= thr)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= thr)
+        .groupBy("p_brand", "dist")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("key_a") + col("key_b")).as("key_sum"))
+        .orderBy("p_brand", "dist")
+    }),
+
     // Bloom-gated EXACT ingest dedup (graft.functions.Bloom): the
     // corpus's fingerprint set folds into a persisted fixed-size filter;
     // an ingest batch probes it AT THE SCAN — definitely-new docs pass
@@ -855,6 +883,19 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_fuzzy_names" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part),
+        |pairs AS (
+        |  SELECT x.p_brand, levenshtein(x.p_name, y.p_name) AS dist,
+        |         x.p_partkey + y.p_partkey AS ks
+        |  FROM p x JOIN p y
+        |    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+        |  WHERE abs(length(x.p_name) - length(y.p_name)) <= 2
+        |    AND levenshtein(x.p_name, y.p_name) <= 2)
+        |SELECT p_brand, CAST(dist AS INT) AS dist, count(*) AS n_pairs,
+        |       CAST(sum(ks) AS BIGINT) AS key_sum
+        |FROM pairs GROUP BY 1, 2 ORDER BY p_brand, dist""".stripMargin,
 
     "dedup_bloom_ingest" ->
       """SELECT b.doc_id, b.source

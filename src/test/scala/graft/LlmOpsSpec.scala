@@ -207,6 +207,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dedup_fuzzy_names: census matches a plain-Scala Levenshtein replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = Tables.part(spark, sf0001)
+      .select("p_partkey", "p_name", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = parts.groupBy(_._3).toSeq.flatMap { case (brand, ps) =>
+      (for {
+        x <- ps; y <- ps if x._1 < y._1
+        d = lev(x._2, y._2) if d <= 2
+      } yield (brand, d, x._1 + y._1))
+        .groupBy(p => (p._1, p._2))
+        .map { case ((b, d), es) => (b, d, es.size.toLong, es.map(_._3).sum) }
+    }.toSet
+    val got = run("dedup_fuzzy_names").collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Int]("dist"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("key_sum"))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("sample_cluster_diverse: per-cell quota, independent JVM-md5 replay agrees") {
     val rows = run("sample_cluster_diverse").collect()
     assert(rows.nonEmpty)
