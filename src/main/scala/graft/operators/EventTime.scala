@@ -149,6 +149,55 @@ object EventTime {
         .orderBy("click_id")
     }),
 
+    // TIME-SERIES GAP FILL — densify each event type's hourly series so
+    // missing hours appear as explicit zero rows (the shape every
+    // downstream charting / anomaly / forecasting consumer expects;
+    // tumbling windows alone silently skip empty buckets). The spine is
+    // generated FROM the aggregate, not the raw events: one bounded
+    // per-type (min, max) aggregate fans out to |types| × hours rows via
+    // sequence+explode, then left-joins the hourly counts. Both join
+    // sides are post-aggregation (bounded by types × hours), so at
+    // 100 TB the heavy work remains the single counts shuffle the
+    // tumbling query already pays; the spine costs nothing extra.
+    "events_gap_fill" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), rsum2(col("value")).as("total"))
+      val spine = counts.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      spine.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), fmt(col("hr")).as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // LAST-TOUCH ATTRIBUTION — credit each purchase to the user's most
+    // recent PRIOR view/click (the reference's filter-bolt domain,
+    // reference `app/data_clean_topology.py:16-23`, extended to the
+    // stateful attribution every product pipeline runs). One window per
+    // user ordered by (ts, event_id): `last(..., ignoreNulls)` over the
+    // unbounded-preceding frame carries the latest touch forward —
+    // never a self-join of purchases against full histories. Purchases
+    // with no prior touch credit 'none'. Per-user windows partition
+    // uniformly at scale; the streaming twin is the sessionizer's
+    // mapGroupsWithState shape with last-touch as the carried state.
+    "events_attribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("src_type",
+          last(when(col("event_type").isin("view", "click"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src_type"), lit("none")).as("src_type"))
+        .agg(count(lit(1)).as("n_purchases"), rsum2(col("value")).as("revenue"))
+        .orderBy("src_type")
+    }),
+
     // Session windows per user, 30-minute inactivity gap.
     "events_session" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -247,6 +296,33 @@ object EventTime {
         |       count(*) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr, count(*) AS n,
+        |         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |  FROM counts GROUP BY event_type)
+        |SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       coalesce(n, 0) AS n, coalesce(total, CAST(0 AS DOUBLE)) AS total
+        |FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.hr = c.hr
+        |ORDER BY s.event_type, hour""".stripMargin,
+
+    "events_attribution" ->
+      """WITH att AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_type
+        |  FROM events)
+        |SELECT coalesce(src_type, 'none') AS src_type, count(*) AS n_purchases,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM att WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY src_type""".stripMargin,
 
     "join_interval_outer" ->
       """WITH clicks AS (

@@ -149,6 +149,41 @@ object Graph {
       visited.orderBy("depth", "node")
     }),
 
+    // NEIGHBOR JACCARD — link-prediction / node-similarity scoring:
+    // for every node pair sharing ≥1 neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|
+    // over the same top-3-out-edges subgraph as BFS/LPA (the full trade
+    // graph is near-complete, so every Jaccard would be ~1). Integer
+    // exact end to end: the score ships as parts-per-million via DIV,
+    // never a float ratio. Shape: one co-neighbor self-join on the
+    // shared-neighbor key (the wedge join triangles already uses) + one
+    // (a, b) count + two bounded degree joins. At scale the self-join's
+    // fan-out is Σ_n deg(n)² — bounded here by the k-NN restriction
+    // (deg ≤ 3+in), and in general by the same df-cap discipline the
+    // shingle dedup applies to hot inverted-index buckets
+    // (Dedup.scala stop-shingle cap).
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("w"), col("dst"))
+      val topk = stagedTradeEdges(s, dir)
+        .withColumn("rk", row_number().over(wnd)).filter(col("rk") <= 3)
+        .select("src", "dst")
+      val und = topk
+        .unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      val common = und.select(col("src").as("a"), col("dst").as("nb"))
+        .join(und.select(col("src").as("b"), col("dst").as("nb")), "nb")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common_n"))
+      common
+        .join(deg.select(col("src").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("src").as("b"), col("d").as("db")), "b")
+        .withColumn("union_n", col("da") + col("db") - col("common_n"))
+        .select(col("a"), col("b"), col("common_n"), col("union_n"),
+          expr("common_n * CAST(1000000 AS BIGINT) DIV union_n").as("jpm"))
+        .orderBy("a", "b")
+    }),
+
     // MAJORITY LABEL PROPAGATION — community detection, the fourth
     // iterative primitive (power rank = centrality, triangles =
     // density, BFS = reachability, LPA = partition). Runs on the same
@@ -252,6 +287,30 @@ object Graph {
          |  WHERE b.depth < $MaxBfsDepth)
          |SELECT node, CAST(min(depth) AS INT) AS depth
          |FROM bfs GROUP BY 1 ORDER BY depth, node""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      s"""WITH $edgeCte,
+         |topk AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+         |    FROM e) WHERE rk <= 3),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM topk
+         |    UNION ALL SELECT dst AS src, src AS dst FROM topk)),
+         |deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1),
+         |common AS (
+         |  SELECT x.src AS a, y.src AS b, count(*) AS common_n
+         |  FROM und x JOIN und y ON x.dst = y.dst AND x.src < y.src
+         |  GROUP BY 1, 2)
+         |SELECT a, b, common_n,
+         |       da.d + db.d - common_n AS union_n,
+         |       CAST((common_n * 1000000) // (da.d + db.d - common_n) AS BIGINT) AS jpm
+         |FROM common
+         |JOIN deg da ON da.src = a
+         |JOIN deg db ON db.src = b
+         |ORDER BY a, b""".stripMargin,
 
     "graph_label_prop" ->
       s"""WITH $edgeCte,

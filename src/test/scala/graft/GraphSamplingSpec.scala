@@ -45,6 +45,28 @@ class GraphSamplingSpec extends SparkSpec {
     assert(got === expected.toMap, "per-node triangle counts diverge from brute force")
   }
 
+  test("graph_jaccard_neighbors matches brute-force neighbor sets on the sparse graph") {
+    // rebuild the top-3 sparse undirected graph driver-side (25 nations)
+    // and recompute every pair's Jaccard from raw neighbor sets
+    val edges = Graph.stagedTradeEdges(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val topk = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(3).map(e => (e._1, e._2))
+    }
+    val nbrs = (topk ++ topk.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- nbrs.keys; b <- nbrs.keys if a < b
+      common = (nbrs(a) & nbrs(b)).size if common > 0
+      union = (nbrs(a) | nbrs(b)).size
+    } yield (a, b) -> (common.toLong, union.toLong, common.toLong * 1000000L / union)).toMap
+    val got = SparkEntry.queries("graph_jaccard_neighbors")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("common_n"), r.getAs[Long]("union_n"), r.getAs[Long]("jpm"))).toMap
+    assert(got === expected, "pairwise Jaccard diverges from brute-force neighbor sets")
+    assert(got.values.forall { case (c, u, j) => c >= 1 && c <= u && j >= 0 && j <= 1000000L })
+  }
+
   test("graph_label_prop matches a plain-Scala two-round replay on the sparse graph") {
     // rebuild the sparse symmetrized graph from the staged edges and run
     // the same two synchronous majority rounds in local Scala — an

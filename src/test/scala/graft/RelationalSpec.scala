@@ -23,6 +23,38 @@ class RelationalSpec extends SparkSpec {
     assert(users(0) === viewers, "stage 1 is exactly the distinct view cohort")
   }
 
+  test("events_gap_fill: spine is contiguous hourly and conserves event counts") {
+    import graft.core.Tables
+    val rows = run("events_gap_fill").collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    byType.foreach { case (tpe, rs) =>
+      val hours = rs.map(r => java.time.LocalDateTime.parse(r.getAs[String]("hour"), fmt)).sorted
+      // contiguous: row count == hours spanned inclusive, no duplicates
+      val span = java.time.Duration.between(hours.head, hours.last).toHours + 1
+      assert(hours.length.toLong === span, s"$tpe spine has holes or dups")
+      assert(hours.distinct.length === hours.length)
+    }
+    // zero-filled rows exist at sf0.001 (sparse hours) and the non-zero
+    // rows conserve the exact per-type event totals
+    assert(rows.exists(_.getAs[Long]("n") === 0L), "no gap was actually filled")
+    val totals = byType.view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val expected = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals === expected)
+  }
+
+  test("events_attribution: purchases fully partitioned across touch types") {
+    import graft.core.Tables
+    val rows = run("events_attribution").collect()
+    val srcs = rows.map(_.getAs[String]("src_type"))
+    assert(srcs.toSet.subsetOf(Set("view", "click", "none")))
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === purchases,
+      "every purchase attributed exactly once")
+  }
+
   test("text_bpe_train: round-1 merge is the corpus argmax, round 2 can't beat it") {
     val train = run("text_bpe_train").collect().sortBy(_.getAs[Long]("round"))
     assert(train.length === 2)
