@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,61 @@ object AsOf {
         rightCols.map(c => col("_last").getField(c).as(c))): _*)
   }
 
+  /** NEAREST as-of: attach the right row minimizing |left.ts − right.ts|
+    * per key, either direction, ties to the earlier (backward) match —
+    * pandas merge_asof(direction='nearest'). Same union machinery as
+    * [[asOfJoin]], but BOTH directions come out of ONE exchange + ONE
+    * sort: the backward candidate via last(_, ignoreNulls) over the
+    * unbounded-preceding frame and the forward candidate via
+    * first(_, ignoreNulls) over the unbounded-following frame share the
+    * same (partition, order) spec, so Spark evaluates them in a single
+    * WindowExec. Distances compare as exact integer microseconds. */
+  def asOfJoinNearest(left: DataFrame, leftKey: String, leftTs: String,
+                      right: DataFrame, rightKey: String, rightTs: String,
+                      rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // right ts rides inside the payload struct: the winner's distance is
+    // measured against the SAME row the carried values come from
+    val payloadCols = rightCols :+ rightTs
+    val payloadType = StructType(payloadCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    val l = left
+      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
+      .withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(payloadType))
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .withColumn("_k", col(rightKey)).withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_r", struct(payloadCols.map(col): _*))
+    val rPadded = left.columns.foldLeft(r)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side"), col("_r"))): _*)
+    val unioned = l
+      .select((left.columns.map(col) ++ Seq(col("_k"), col("_ts"), col("_side"), col("_r"))): _*)
+      .unionByName(rPadded)
+
+    val wPrev = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // a right row exactly at the left ts sorts before it (side 0 < 1),
+    // lands in the backward frame at distance 0, and wins the tie
+    val us = unix_micros(col("_ts").cast("timestamp"))
+    def rts(c: Column) = unix_micros(c.getField(rightTs).cast("timestamp"))
+    val pickPrev = col("_next").isNull ||
+      (col("_prev").isNotNull && us - rts(col("_prev")) <= rts(col("_next")) - us)
+    unioned
+      .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", first(col("_r"), ignoreNulls = true).over(wNext))
+      .filter(col("_side") === 1)
+      .withColumn("_best", when(pickPrev, col("_prev")).otherwise(col("_next")))
+      .filter(col("_best").isNotNull) // inner: no candidate either side
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col("_best").getField(c).as(c))): _*)
+  }
+
   /** Same contract as [[asOfJoin]], executed by the native
     * [[graft.plans.AsOfJoinExec]] operator (logical node + planner
     * strategy injected via GraftExtensions): one exchange + one sort
@@ -129,6 +184,28 @@ object AsOf {
       eventsOrdersAsOf(s, dir, (l, lk, lt, r, rk, rt, cols) =>
         asOfJoinNative(l, lk, lt, r, rk, rt, cols))),
 
+    // NEAREST-direction as-of: each purchase matched to the user's
+    // closest click in time, either direction (backward-only would
+    // miss the click that lands seconds AFTER checkout — half the
+    // matches flip direction on this data). Inner: purchases of
+    // click-less users drop. (user_id, ts) is unique among clicks at
+    // every sf, so the match is well-defined without the (custkey,
+    // orderdate)-style dedup the backward queries apply.
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"), col("value"))
+      asOfJoinNearest(purchases, "user_id", "ts",
+        clicks, "user_id", "cts", Seq("click_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("click_id"), round(col("value"), 2).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // LEFT OUTER as-of through the native operator: the right side is
     // thinned to a third of customers so unmatched events genuinely
     // exercise the null-padding path (pandas merge_asof's default
@@ -169,6 +246,45 @@ object AsOf {
   def oracles: Map[String, String] = Map(
     "asof_join_events_orders" -> eventsOrdersOracle,
     "asof_join_native" -> eventsOrdersOracle,
+    // Mirrors the union+dual-window formulation (DuckDB's ASOF JOIN is
+    // backward-only). Carried columns may ride separately here because
+    // every right row has non-null (id, value, ts) — the stitching
+    // hazard the Scala struct guards against can't arise.
+    "asof_join_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id AS k, ts, 1 AS side, event_id,
+        |         NULL AS r_id, NULL AS r_value, NULL AS r_ts
+        |  FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, click_id, value, ts FROM r),
+        |c AS (
+        |  SELECT k, ts, side, event_id,
+        |         last_value(r_id IGNORE NULLS) OVER wp AS pk,
+        |         last_value(r_value IGNORE NULLS) OVER wp AS pv,
+        |         last_value(r_ts IGNORE NULLS) OVER wp AS pts,
+        |         first_value(r_id IGNORE NULLS) OVER wn AS nk,
+        |         first_value(r_value IGNORE NULLS) OVER wn AS nv,
+        |         first_value(r_ts IGNORE NULLS) OVER wn AS nts
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY k ORDER BY ts, side
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY k ORDER BY ts, side
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, k AS user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       CASE WHEN pk IS NULL THEN nk WHEN nk IS NULL THEN pk
+        |            WHEN epoch_us(ts) - epoch_us(pts) <= epoch_us(nts) - epoch_us(ts)
+        |            THEN pk ELSE nk END AS click_id,
+        |       round(CASE WHEN pk IS NULL THEN nv WHEN nk IS NULL THEN pv
+        |            WHEN epoch_us(ts) - epoch_us(pts) <= epoch_us(nts) - epoch_us(ts)
+        |            THEN pv ELSE nv END, 2) AS click_value
+        |FROM c WHERE side = 1 AND (pk IS NOT NULL OR nk IS NOT NULL)
+        |ORDER BY event_id""".stripMargin,
+
     "asof_join_native_outer" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate,

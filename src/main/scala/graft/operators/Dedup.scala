@@ -425,10 +425,15 @@ object Dedup {
     // token-set methods (jaccard/minhash/simhash) don't cover: on SHORT
     // strings (names, titles, SKUs) a one-character typo wrecks the
     // shingle set, and Levenshtein is the standard metric. Classic
-    // blocking shape: candidate pairs only within a brand block, and
-    // only where the cheap necessary condition |len(a)−len(b)| ≤ thr
-    // holds — both prune BEFORE the quadratic-per-pair edit-distance
-    // verify, the expensive kernel. At 100 TB the blocking key bounds
+    // blocking shape, with the length bound IN the block key: records
+    // join on (brand, len DIV (thr+1)), the probe side exploded to the
+    // adjacent buckets, so |len(a)−len(b)| ≤ thr pairs match exactly
+    // once (bucket width > thr ⇒ adjacent buckets suffice, and the
+    // build row's single bucket hits exactly one of the probe's three)
+    // and the equi-join never fans out to whole-brand blocks. The
+    // surviving pairs run the THRESHOLDED Levenshtein — the banded
+    // O(thr·len) DP that abandons a row once every cell exceeds thr —
+    // not the full O(len²) matrix. At 100 TB the blocking key bounds
     // every task: candidate count ∝ Σ block², never N² (the standard
     // ER decomposition; finer keys — sorted-neighborhood, q-gram
     // prefixes — drop in as the blocking column without changing the
@@ -436,14 +441,20 @@ object Dedup {
     // id checksum — ≤ |brands|·(thr+1) rows at any scale.
     "dedup_fuzzy_names" -> ((s, dir) => {
       val thr = 2
-      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"), col("p_brand"))
-      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand"))
+      val bw = thr + 1
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          length(col("p_name")).as("len"))
+      val a = p.select(col("p_brand"), expr(s"len DIV $bw").as("bkt"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"), col("len").as("len_a"))
+      val b = p.select(col("p_brand"),
+        explode(array((-1 to 1).map(d => expr(s"len DIV $bw") + lit(d)): _*)).as("bkt"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"), col("len").as("len_b"))
+      a.join(b, Seq("p_brand", "bkt"))
         .filter(col("key_a") < col("key_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= thr)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= thr)
+          abs(col("len_a") - col("len_b")) <= thr)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), thr))
+        .filter(col("dist") >= 0) // −1 = banded DP proved dist > thr
         .groupBy("p_brand", "dist")
         .agg(count(lit(1)).as("n_pairs"), sum(col("key_a") + col("key_b")).as("key_sum"))
         .orderBy("p_brand", "dist")

@@ -29,6 +29,54 @@ class AsOfSpec extends SparkSpec {
     assert(out === Map(1L -> 102L, 2L -> 101L, 3L -> 101L))
   }
 
+  test("nearest as-of picks the min-|Δt| side, ties backward, inner drops") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 05:00:00")), // 5h after r1, 1h before r2 → r2
+      (2L, 10L, ts("2024-01-01 01:00:00")), // 1h after r1, 5h before r2 → r1
+      (3L, 10L, ts("2024-01-01 03:00:00")), // exactly midway → tie → backward r1
+      (4L, 10L, ts("2023-12-01 00:00:00")), // far before both → forward r1
+      (5L, 10L, ts("2024-02-01 00:00:00")), // far after both → backward r2
+      (6L, 99L, ts("2024-01-01 12:00:00"))  // key with no right rows → dropped
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 101L, 11.0),
+      (10L, ts("2024-01-01 06:00:00"), 102L, 22.0)
+    ).toDF("k", "rts", "rid", "rv")
+    val out = AsOf.asOfJoinNearest(left, "user_id", "ts", right, "k", "rts",
+      Seq("rid", "rv"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("rid")).toMap
+    assert(out === Map(1L -> 102L, 2L -> 101L, 3L -> 101L, 4L -> 101L, 5L -> 102L))
+  }
+
+  test("nearest as-of matches per-row argmin brute force on real data") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .groupBy(_._2)
+    val expected = purchases.flatMap { case (eid, uid, t) =>
+      clicks.get(uid).map { cs =>
+        // min |Δt|; tie → backward (earlier click ts), then min click id
+        val best = cs.minBy(c => (math.abs(c._3 - t), c._3, c._1))
+        eid -> best._1
+      }
+    }.toMap
+    val got = SparkEntry.queries("asof_join_nearest")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("click_id")).toMap
+    assert(got === expected, "nearest match diverges from brute-force argmin")
+    // the nearest direction must genuinely matter on this data
+    val backwardOnly = expected.keySet.filter { eid =>
+      val (_, uid, t) = purchases.find(_._1 == eid).get
+      clicks(uid).exists(_._3 > t) && clicks(uid).filter(_._3 <= t).nonEmpty
+    }
+    assert(backwardOnly.nonEmpty)
+  }
+
   test("native as-of operator agrees with the compositional one on the same case") {
     import spark.implicits._
     val left = Seq(
