@@ -40,7 +40,11 @@ object SparkEntry {
       // oracle as the declarative events_funnel — the custom stateful op
       // must agree with the three-aggregate SQL formulation.
       "funnel_stateful" -> ((s: SparkSession, dir: String) =>
-        graft.streaming.Funnel.funnelBatch(Tables.events(s, dir)))
+        graft.streaming.Funnel.funnelBatch(Tables.events(s, dir))),
+      // third O14 analogue: typed per-user last-touch state; same oracle
+      // as the declarative events_attribution window formulation.
+      "attribution_stateful" -> ((s: SparkSession, dir: String) =>
+        graft.streaming.Attribution.attributionBatch(Tables.events(s, dir)))
     )
 
   def oracleSql: Map[String, String] =
@@ -50,6 +54,7 @@ object SparkEntry {
       Graph.oracles ++ Sampling.oracles ++ Clustering.oracles ++
       Pipeline.oracles ++ Layout.oracles ++ Map(
       "sessionize_stateful" -> EventTime.oracles("events_session"),
-      "funnel_stateful" -> EventTime.oracles("events_funnel")
+      "funnel_stateful" -> EventTime.oracles("events_funnel"),
+      "attribution_stateful" -> EventTime.oracles("events_attribution")
     )
 }

@@ -77,6 +77,22 @@ class AsOfSpec extends SparkSpec {
     assert(backwardOnly.nonEmpty)
   }
 
+  test("nearest as-of evaluates both direction frames in a single window pass") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:01"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("k", "rts", "rid", "rv")
+    val p = AsOf.asOfJoinNearest(left, "user_id", "ts", right, "k", "rts",
+      Seq("rid", "rv")).queryExecution.executedPlan
+    val s = p.toString
+    // ONE WindowExec hosts both frames (same partition+order spec) over
+    // ONE hash exchange and ONE sort — the design claim of the operator
+    assert(s.sliding("Window [".length).count(_ == "Window [") === 1, s)
+    assert(s.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1, s)
+    assert(s.sliding("Sort [".length).count(_ == "Sort [") === 1, s)
+  }
+
   test("native as-of operator agrees with the compositional one on the same case") {
     import spark.implicits._
     val left = Seq(

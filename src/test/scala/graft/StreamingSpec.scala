@@ -193,6 +193,48 @@ class StreamingSpec extends SparkSpec {
       s"stream stages $wantByStage vs declarative $declarative")
   }
 
+  test("stateful attribution ≡ declarative window attribution; state crosses batches") {
+    val stateful = SparkEntry.queries("attribution_stateful")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("src_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))).toMap
+    val declarative = EventTime.queries("events_attribution")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("src_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))).toMap
+    assert(stateful === declarative)
+
+    // streaming: a purchase in micro-batch 2 credits the click from
+    // micro-batch 1 — the carried Touch is what makes it stateful
+    import spark.implicits._
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-attr-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dest)
+    }
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val in = Files.createTempDirectory("graft-attr-in")
+    writeOne(Seq((1L, 1L, ts(0), "click", 1.0), (2L, 2L, ts(1), "purchase", 10.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f1.parquet"))
+    Thread.sleep(1100) // strictly later mtime => deterministic batch order
+    writeOne(Seq((1L, 3L, ts(2), "purchase", 20.0), (1L, 4L, ts(3), "view", 1.0),
+      (1L, 5L, ts(4), "purchase", 30.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f2.parquet"))
+    Thread.sleep(1100)
+    val streamed = spark.readStream.schema(
+      Tables.events(spark, sf0001).select("user_id", "event_id", "ts", "event_type", "value").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val got = Streams.runToCompletion(spark,
+      graft.streaming.Attribution.attribution(streamed).toDF(), "attr_stream",
+      mode = "append")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    // u1: click@0 then purchase@2 (batch 2, credited ACROSS batches) and
+    // view@3 then purchase@4 (credited within batch 2); u2: no prior touch
+    assert(got === Seq(("click", 20.0), ("none", 10.0), ("view", 30.0)).sorted,
+      s"got $got")
+  }
+
   test("event-time queries return rows and match shapes at sf0.001") {
     for (name <- EventTime.queries.keys)
       assert(SparkEntry.queries(name)(spark, sf0001).count() > 0, s"$name empty")
