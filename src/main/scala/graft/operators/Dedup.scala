@@ -424,39 +424,44 @@ object Dedup {
     // EDIT-DISTANCE ENTITY RESOLUTION — the fuzzy-match family the
     // token-set methods (jaccard/minhash/simhash) don't cover: on SHORT
     // strings (names, titles, SKUs) a one-character typo wrecks the
-    // shingle set, and Levenshtein is the standard metric. Classic
-    // blocking shape, with the length bound IN the block key: records
-    // join on (brand, len DIV (thr+1)), the probe side exploded to the
-    // adjacent buckets, so |len(a)−len(b)| ≤ thr pairs match exactly
-    // once (bucket width > thr ⇒ adjacent buckets suffice, and the
-    // build row's single bucket hits exactly one of the probe's three)
-    // and the equi-join never fans out to whole-brand blocks. The
-    // surviving pairs run the THRESHOLDED Levenshtein — the banded
-    // O(thr·len) DP that abandons a row once every cell exceeds thr —
-    // not the full O(len²) matrix. At 100 TB the blocking key bounds
-    // every task: candidate count ∝ Σ block², never N² (the standard
-    // ER decomposition; finer keys — sorted-neighborhood, q-gram
-    // prefixes — drop in as the blocking column without changing the
-    // plan). Output is the per-(brand, distance) pair census with an
-    // id checksum — ≤ |brands|·(thr+1) rows at any scale.
+    // shingle set, and Levenshtein is the standard metric. The decisive
+    // move is DICTIONARY COMPRESSION before any pairing: entity columns
+    // are heavy-tailed (20k parts here share 64 names; a 100 TB product
+    // catalog repeats titles millions of times), so the quadratic stage
+    // runs on DISTINCT (block, name) groups — 43k candidate name pairs
+    // instead of 6.9M row pairs at sf0.1 — and the exact row-pair census
+    // reconstructs from group counts and key sums: a cross-name group
+    // pair (cA,sA)×(cB,sB) yields cA·cB pairs summing cB·sA + cA·sB,
+    // and a c-row same-name group yields c(c−1)/2 zero-distance pairs
+    // summing (c−1)·s. Brand stays the blocking key (candidates ∝
+    // Σ block², never N²), the cheap |len(a)−len(b)| ≤ thr necessary
+    // condition prunes before the kernel, and the kernel is the
+    // THRESHOLDED Levenshtein — the banded O(thr·len) DP, not the full
+    // O(len²) matrix. Output ≤ |brands|·(thr+1) rows at any scale.
     "dedup_fuzzy_names" -> ((s, dir) => {
       val thr = 2
-      val bw = thr + 1
-      val p = Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_name"), col("p_brand"),
-          length(col("p_name")).as("len"))
-      val a = p.select(col("p_brand"), expr(s"len DIV $bw").as("bkt"),
-        col("p_partkey").as("key_a"), col("p_name").as("name_a"), col("len").as("len_a"))
-      val b = p.select(col("p_brand"),
-        explode(array((-1 to 1).map(d => expr(s"len DIV $bw") + lit(d)): _*)).as("bkt"),
-        col("p_partkey").as("key_b"), col("p_name").as("name_b"), col("len").as("len_b"))
-      a.join(b, Seq("p_brand", "bkt"))
-        .filter(col("key_a") < col("key_b") &&
-          abs(col("len_a") - col("len_b")) <= thr)
+      val g = Tables.part(s, dir)
+        .groupBy(col("p_brand"), col("p_name"))
+        .agg(count(lit(1)).as("c"), sum(col("p_partkey")).as("sk"))
+      val a = g.select(col("p_brand"), col("p_name").as("name_a"),
+        col("c").as("ca"), col("sk").as("sa"))
+      val b = g.select(col("p_brand"), col("p_name").as("name_b"),
+        col("c").as("cb"), col("sk").as("sb"))
+      val cross = a.join(b, Seq("p_brand"))
+        .filter(col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= thr)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), thr))
         .filter(col("dist") >= 0) // −1 = banded DP proved dist > thr
+        .select(col("p_brand"), col("dist"),
+          (col("ca") * col("cb")).as("n_pairs"),
+          (col("cb") * col("sa") + col("ca") * col("sb")).as("key_sum"))
+      val same = g.filter(col("c") > 1)
+        .select(col("p_brand"), lit(0).as("dist"),
+          expr("c * (c - 1) DIV 2").as("n_pairs"),
+          ((col("c") - 1) * col("sk")).as("key_sum"))
+      cross.unionByName(same)
         .groupBy("p_brand", "dist")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("key_a") + col("key_b")).as("key_sum"))
+        .agg(sum(col("n_pairs")).as("n_pairs"), sum(col("key_sum")).as("key_sum"))
         .orderBy("p_brand", "dist")
     }),
 

@@ -198,6 +198,47 @@ object EventTime {
         .orderBy("src_type")
     }),
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION — the other canonical credit model
+    // next to last-touch: each purchase's value splits equally across
+    // the views/clicks in its 24-hour lookback (strictly earlier
+    // second). Integer-exact end to end: value becomes cents, credit is
+    // apportioned in micro-cents via DIV (per purchase the two
+    // truncations lose at most ONE micro-cent total, asserted in spec),
+    // so both engines agree bit-for-bit where a double split would be
+    // order-dependent. One range-frame window per user (two conditional
+    // sums share it) + one bounded aggregation; the 24 h range frame is
+    // what bounds per-user state in the streaming twin.
+    "events_attribution_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec").rangeBetween(-86400L, -1L)
+      val p = ev
+        // sum over an EMPTY frame is NULL, not 0 — a purchase with no
+        // events in its lookback must still credit 'none'
+        .withColumn("nv", coalesce(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w), lit(0L)))
+        .withColumn("nc", coalesce(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w), lit(0L)))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nt", col("nv") + col("nc"))
+      val touched = p.filter(col("nt") > 0)
+      val credits =
+        touched.select(lit("view").as("src_type"), col("nv").as("n"),
+            expr("cents * 1000000 * nv DIV nt").as("credit"))
+          .unionByName(touched.select(lit("click").as("src_type"), col("nc").as("n"),
+            expr("cents * 1000000 * nc DIV nt").as("credit")))
+          .unionByName(p.filter(col("nt") === 0)
+            .select(lit("none").as("src_type"), lit(1L).as("n"),
+              (col("cents") * lit(1000000L)).as("credit")))
+      credits.filter(col("n") > 0)
+        .groupBy("src_type")
+        .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit_ucents"))
+        .orderBy("src_type")
+    }),
+
     // Session windows per user, 30-minute inactivity gap.
     "events_session" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -322,6 +363,35 @@ object EventTime {
         |SELECT coalesce(src_type, 'none') AS src_type, count(*) AS n_purchases,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM att WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY src_type""".stripMargin,
+
+    "events_attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) // 1000000 AS sec,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT *, nv + nc AS nt FROM (
+        |    SELECT event_type, cents,
+        |           coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |             OVER w, 0) AS nv,
+        |           coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |             OVER w, 0) AS nc
+        |    FROM ev
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |                 RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+        |  WHERE event_type = 'purchase'),
+        |credits AS (
+        |  SELECT 'view' AS src_type, nv AS n,
+        |         cents * 1000000 * nv // nt AS credit FROM p WHERE nt > 0
+        |  UNION ALL
+        |  SELECT 'click', nc, cents * 1000000 * nc // nt FROM p WHERE nt > 0
+        |  UNION ALL
+        |  SELECT 'none', 1, cents * 1000000 FROM p WHERE nt = 0)
+        |SELECT src_type, count(*) AS n_purchases,
+        |       CAST(sum(credit) AS BIGINT) AS credit_ucents
+        |FROM credits WHERE n > 0
         |GROUP BY 1 ORDER BY src_type""".stripMargin,
 
     "join_interval_outer" ->

@@ -55,6 +55,25 @@ class RelationalSpec extends SparkSpec {
       "every purchase attributed exactly once")
   }
 
+  test("events_attribution_linear: credit conserved to within 1 µ¢ per purchase") {
+    import graft.core.Tables
+    val rows = run("events_attribution_linear").collect()
+    val credit = rows.map(_.getAs[Long]("credit_ucents")).sum
+    val nPurch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long")), count(lit(1))).collect()(0)
+    val exact = nPurch.getLong(0) * 1000000L
+    // each touched purchase's two DIV truncations lose at most one
+    // micro-cent total; untouched purchases credit 'none' exactly
+    assert(credit <= exact && credit >= exact - nPurch.getLong(1),
+      s"credit $credit vs exact $exact over ${nPurch.getLong(1)} purchases")
+    // both credit models agree on the purchase partition sizes
+    val lastTouch = run("events_attribution").collect()
+      .map(r => r.getAs[String]("src_type") -> r.getAs[Long]("n_purchases")).toMap
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum >= lastTouch.values.sum,
+      "linear counts each purchase once per credited type")
+  }
+
   test("text_bpe_train: round-1 merge is the corpus argmax, round 2 can't beat it") {
     val train = run("text_bpe_train").collect().sortBy(_.getAs[Long]("round"))
     assert(train.length === 2)
