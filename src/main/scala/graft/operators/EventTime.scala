@@ -239,6 +239,24 @@ object EventTime {
         .orderBy("src_type")
     }),
 
+    // EVENT TRANSITION MATRIX — the Markov-chain builder under journey
+    // mining / next-action prediction: count every (event_type →
+    // immediately-next event_type) bigram along each user's timeline.
+    // One lead() window per user (tie-broken by event_id like every
+    // per-user order here) + one bounded |types|² aggregation; the
+    // 100 TB shape is the per-user-partitioned window, never a
+    // self-join of the timeline against itself.
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Session windows per user, 30-minute inactivity gap.
     "events_session" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -393,6 +411,16 @@ object EventTime {
         |       CAST(sum(credit) AS BIGINT) AS credit_ucents
         |FROM credits WHERE n > 0
         |GROUP BY 1 ORDER BY src_type""".stripMargin,
+
+    "events_transitions" ->
+      """SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "join_interval_outer" ->
       """WITH clicks AS (

@@ -149,6 +149,41 @@ object Graph {
       visited.orderBy("depth", "node")
     }),
 
+    // K-CORE PEEL — the fifth iterative primitive (centrality, density,
+    // reachability, partition, and now COHESION): nodes outside the
+    // 6-core peel off over TWO synchronous rounds on the top-5-out-edges
+    // trade subgraph (top-5/k=6 is the combination that peels a real
+    // cascade at every sf without emptying). Each round restricts the
+    // edge list to surviving endpoints (two semi-joins on the node key),
+    // recounts degrees (one aggregation), and keeps deg ≥ 6 — with the
+    // usual per-round lineage cut. A fixed round count, like
+    // label_prop's two rounds, keeps the semantics engine-independent
+    // (true peeling runs to fixpoint; the oracle unrolls the SAME two
+    // rounds). Output is each survivor with the degree that qualified
+    // it in the last round.
+    "graph_kcore" -> ((s, dir) => {
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(desc("w"), col("dst"))
+      val topk = stagedTradeEdges(s, dir)
+        .withColumn("rk", row_number().over(wnd)).filter(col("rk") <= 5)
+        .select("src", "dst")
+      val cut = CheckpointStrategy.Local
+      val und = cut.cut(topk
+        .unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+      var nodes = cut.cut(und.select(col("src").as("node")).distinct())
+      var surv: DataFrame = null
+      for (_ <- 1 to 2) {
+        surv = cut.cut(und
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 6))
+        nodes = surv.select("node")
+      }
+      surv.orderBy("node")
+    }),
+
     // NEIGHBOR JACCARD — link-prediction / node-similarity scoring:
     // for every node pair sharing ≥1 neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|
     // over the same top-3-out-edges subgraph as BFS/LPA (the full trade
@@ -287,6 +322,28 @@ object Graph {
          |  WHERE b.depth < $MaxBfsDepth)
          |SELECT node, CAST(min(depth) AS INT) AS depth
          |FROM bfs GROUP BY 1 ORDER BY depth, node""".stripMargin,
+
+    "graph_kcore" ->
+      s"""WITH $edgeCte,
+         |topk AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+         |    FROM e) WHERE rk <= 5),
+         |und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM topk
+         |    UNION ALL SELECT dst AS src, src AS dst FROM topk)),
+         |n0 AS (SELECT DISTINCT src AS node FROM und),
+         |n1 AS (
+         |  SELECT src AS node, count(*) AS deg FROM und
+         |  WHERE src IN (SELECT node FROM n0) AND dst IN (SELECT node FROM n0)
+         |  GROUP BY 1 HAVING count(*) >= 6),
+         |n2 AS (
+         |  SELECT src AS node, count(*) AS deg FROM und
+         |  WHERE src IN (SELECT node FROM n1) AND dst IN (SELECT node FROM n1)
+         |  GROUP BY 1 HAVING count(*) >= 6)
+         |SELECT node, deg FROM n2 ORDER BY node""".stripMargin,
 
     "graph_jaccard_neighbors" ->
       s"""WITH $edgeCte,

@@ -67,6 +67,29 @@ class GraphSamplingSpec extends SparkSpec {
     assert(got.values.forall { case (c, u, j) => c >= 1 && c <= u && j >= 0 && j <= 1000000L })
   }
 
+  test("graph_kcore matches a plain-Scala two-round peel on the top-5 subgraph") {
+    val edges = Graph.stagedTradeEdges(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val topk = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(5).map(e => (e._1, e._2))
+    }
+    val und = (topk ++ topk.map(_.swap)).distinct
+    var nodes = und.map(_._1).toSet
+    val initial = nodes.size
+    var degs = Map.empty[String, Int]
+    for (_ <- 1 to 2) {
+      degs = und.filter(e => nodes(e._1) && nodes(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap.filter(_._2 >= 6)
+      nodes = degs.keySet
+    }
+    val got = SparkEntry.queries("graph_kcore")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("deg").toInt).toMap
+    assert(got === degs, "2-round 6-core peel diverges from plain-Scala replay")
+    assert(got.values.forall(_ >= 6))
+    // the peel must genuinely remove nodes and keep a nonempty core
+    assert(got.nonEmpty && got.size < initial, s"no cascade: ${got.size}/$initial")
+  }
+
   test("graph_label_prop matches a plain-Scala two-round replay on the sparse graph") {
     // rebuild the sparse symmetrized graph from the staged edges and run
     // the same two synchronous majority rounds in local Scala — an

@@ -74,6 +74,19 @@ class RelationalSpec extends SparkSpec {
       "linear counts each purchase once per credited type")
   }
 
+  test("events_transitions: bigram totals are events minus distinct users") {
+    import graft.core.Tables
+    val rows = run("events_transitions").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sf0001)
+    // each user with k events contributes exactly k-1 transitions
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total === expected, s"transition mass $total vs $expected")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => types(r.getAs[String]("from_type")) &&
+      types(r.getAs[String]("to_type"))))
+  }
+
   test("text_bpe_train: round-1 merge is the corpus argmax, round 2 can't beat it") {
     val train = run("text_bpe_train").collect().sortBy(_.getAs[Long]("round"))
     assert(train.length === 2)
