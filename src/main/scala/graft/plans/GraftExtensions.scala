@@ -70,6 +70,41 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: an edit distance compared against a small
+  * literal bound never needs the full O(len²) DP — Spark's thresholded
+  * Levenshtein runs the banded O(thr·len) variant that abandons a row
+  * once every cell exceeds the bound, returning −1 past it and the
+  * exact distance (≥ 0) otherwise. Users write the idiomatic predicate;
+  * the optimizer swaps in the cheap kernel:
+  *
+  *   levenshtein(a, b) <= k   →   levenshtein(a, b, k)     >= 0
+  *   levenshtein(a, b) <  k   →   levenshtein(a, b, k − 1) >= 0
+  *
+  * (plus the mirrored literal-first spellings). Equivalent on every
+  * input including nulls: a null operand nulls BOTH comparisons, which
+  * filter identically. Negative bounds are left alone (always-false
+  * predicates fold away elsewhere). The rewrite is the automated form
+  * of what dedup_fuzzy_names applies by hand — entity-resolution
+  * verify stages are exactly where these predicates appear.
+  */
+object ThresholdLevenshtein extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.IntegerType
+
+  private def banded(l: Expression, r: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+      banded(l, r, k)
+    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 1 =>
+      banded(l, r, k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+      banded(l, r, k)
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 1 =>
+      banded(l, r, k - 1)
+  }
+}
+
 /** Session extension installing graft's optimizer rules + SQL functions.
   * Wire with .withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.plans.GraftExtensions.
@@ -77,6 +112,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => ThresholdLevenshtein)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product_float"),

@@ -45,6 +45,60 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getString(0) === "é")
   }
 
+  test("ThresholdLevenshtein swaps the banded DP into bounded-distance predicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{Levenshtein => CatLev}
+    val names = Seq("kitten", "sitten", "sitting", "kitchen", "mitten", "abcdef")
+    val df = names.flatMap(a => names.map(b => (a, b))).toDF("a", "b")
+    // keep the literal relation from being constant-folded away so the
+    // optimized plan still contains the predicate under inspection
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    val prevExcl = spark.conf.getOption(exclKey)
+    spark.conf.set(exclKey,
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+
+    def thresholded(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan
+        .collect { case node => node.expressions }.flatten
+        .exists(_.exists {
+          case l: CatLev => l.threshold.isDefined
+          case _ => false
+        })
+
+    val le = df.filter(levenshtein(col("a"), col("b")) <= 1)
+    assert(thresholded(le), le.queryExecution.optimizedPlan.toString)
+    val lt = df.filter(levenshtein(col("a"), col("b")) < 2)
+    assert(thresholded(lt))
+    val mirrored = df.filter(lit(1) >= levenshtein(col("a"), col("b")))
+    assert(thresholded(mirrored))
+    val unbounded = df.select(levenshtein(col("a"), col("b")).as("d")).filter(col("d") >= 0)
+    assert(!thresholded(unbounded), "rule must not fire without a literal upper bound")
+
+    // every rewritten form agrees with a plain-Scala DP, including k = 0
+    def dp(x: String, y: String): Int = {
+      val m = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j), m(i)(j - 1)) + 1,
+          m(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      m(x.length)(y.length)
+    }
+    val want1 = names.flatMap(a => names.map(b => (a, b))).filter(p => dp(p._1, p._2) <= 1).sorted
+    assert(le.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq === want1)
+    val eq0 = df.filter(levenshtein(col("a"), col("b")) <= 0)
+    assert(thresholded(eq0))
+    assert(eq0.count() === names.length.toLong, "k = 0 keeps exactly the identical pairs")
+    // null operands filter out in both formulations
+    val withNull = Seq(("a", null), ("a", "a")).toDF("a", "b")
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+    assert(withNull.count() === 1)
+
+    } finally prevExcl match {
+      case Some(v) => spark.conf.set(exclKey, v)
+      case None => spark.conf.unset(exclKey)
+    }
+  }
+
   test("the rule does not fire on non-float arrays or different lambdas") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
