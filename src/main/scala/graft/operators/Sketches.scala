@@ -15,6 +15,9 @@ import graft.functions.FreqItems
 object Sketches {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // see kmvQuery scaladoc below
+    "kmv_source_overlap" -> ((s, dir) => kmvQuery(s, dir)),
+
     // Misra-Gries heavy hitters over o_orderpriority (5-value domain,
     // k=16 → sketch is exact, so the DuckDB GROUP BY oracle matches).
     "freq_items_priority" -> ((s, dir) => {
@@ -72,7 +75,96 @@ object Sketches {
     })
   )
 
+  /** K-MINIMUM-VALUES cross-source overlap — the mergeable distinct
+    * sketch answering "how much do shards A and B overlap?" WITHOUT a
+    * cross-shard distinct: each source folds its shingle-hash set into
+    * its 256 smallest values (one per-source pass), and every pairwise
+    * union/Jaccard/intersection estimate derives from the two sketches
+    * ALONE — K-th smallest of the merged sketch estimates the union as
+    * (K−1)·2⁶⁰∕h₍K₎ (hash60 is uniform on [0, 2⁶⁰)), members of the
+    * merged bottom-K present in both sketches estimate the Jaccard.
+    * At 100 TB the sketches are the only thing that crosses shard
+    * boundaries (256 longs per source). Deterministic end to end
+    * (md5-based hashes, integer DIV through DECIMAL(38)), so unlike the
+    * HLL estimate this sketch IS hash-oracle-checked; accuracy vs the
+    * exact overlap is asserted in SketchOpsSpec (SE ≈ 1/√K ≈ 6%). */
+  private val KmvK = 256
+  private val KmvSources = Seq("src0", "src1", "src2", "src3")
+
+  private def kmvQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docSrc = Tables.documents(s, dir)
+      .filter(col("source").isin(KmvSources: _*))
+      .select(col("doc_id"), col("source"))
+    val hashes = Dedup.stagedShingles(s, dir)
+      .join(docSrc, "doc_id")
+      .select(col("source"), graft.functions.PortableHash.hash60(col("shingle")).as("h"))
+      .distinct()
+    val wSrc = Window.partitionBy("source").orderBy("h")
+    val sketch = hashes.withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= KmvK).select("source", "h")
+    val pairsDf = {
+      import s.implicits._
+      (for { i <- KmvSources.indices; j <- (i + 1) until KmvSources.size }
+        yield (KmvSources(i), KmvSources(j))).toDF("sa", "sb")
+    }
+    val tagged = sketch
+      .join(broadcast(pairsDf), col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy("sa", "sb", "h")
+      .agg(max(when(col("source") === col("sa"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("sb"), 1L).otherwise(0L)).as("in_b"))
+    val wPair = Window.partitionBy("sa", "sb").orderBy("h")
+    tagged.withColumn("rk", row_number().over(wPair)).filter(col("rk") <= KmvK)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("t"),
+        sum(col("in_a") * col("in_b")).as("j_num"))
+      // 255·2⁶⁰ overflows BIGINT — route the numerator through DECIMAL(38)
+      .select(col("sa"), col("sb"),
+        when(col("m") < KmvK, col("m")).otherwise(
+          expr(s"CAST(${KmvK - 1} AS DECIMAL(38,0)) * 1152921504606846976 div t"))
+          .as("union_est"),
+        expr("j_num * 1000000 div m").as("jaccard_ppm"))
+      .withColumn("inter_est", expr("jaccard_ppm * union_est div 1000000"))
+      .orderBy("sa", "sb")
+  }
+
   def oracles: Map[String, String] = Map(
+    "kmv_source_overlap" -> {
+      val h = graft.functions.PortableHash.sql("shingle")
+      val pairsVals = (for {
+        i <- KmvSources.indices; j <- (i + 1) until KmvSources.size
+      } yield s"('${KmvSources(i)}', '${KmvSources(j)}')").mkString(", ")
+      val est = s"CASE WHEN m < $KmvK THEN m ELSE " +
+        s"(${KmvK - 1}::HUGEINT * 1152921504606846976) // t END"
+      s"""WITH ${Dedup.shingleCte},
+         |ds AS (SELECT doc_id, source FROM documents
+         |       WHERE source IN (${KmvSources.map(x => s"'$x'").mkString(", ")})),
+         |hs AS (SELECT DISTINCT source, $h AS h FROM sh JOIN ds USING (doc_id)),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |                row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |         FROM hs) WHERE rk <= $KmvK),
+         |pairs AS (SELECT * FROM (VALUES $pairsVals) AS t(sa, sb)),
+         |tag AS (
+         |  SELECT sa, sb, h,
+         |         max(CASE WHEN source = sa THEN 1 ELSE 0 END) AS in_a,
+         |         max(CASE WHEN source = sb THEN 1 ELSE 0 END) AS in_b
+         |  FROM sk JOIN pairs ON source = sa OR source = sb
+         |  GROUP BY 1, 2, 3),
+         |topm AS (SELECT * FROM (
+         |  SELECT sa, sb, h, in_a, in_b,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+         |  FROM tag) WHERE rk <= $KmvK),
+         |agg AS (
+         |  SELECT sa, sb, count(*) AS m, max(h) AS t,
+         |         sum(in_a * in_b) AS j_num
+         |  FROM topm GROUP BY 1, 2)
+         |SELECT sa, sb,
+         |       CAST($est AS BIGINT) AS union_est,
+         |       CAST(j_num * 1000000 // m AS BIGINT) AS jaccard_ppm,
+         |       CAST((j_num * 1000000 // m) * ($est) // 1000000 AS BIGINT) AS inter_est
+         |FROM agg ORDER BY sa, sb""".stripMargin
+    },
     "join_bloom_prefilter" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price

@@ -28,6 +28,35 @@ class SketchOpsSpec extends SparkSpec {
     assert(statuses.length >= 2, "need multiple groups to demonstrate the union")
   }
 
+  test("kmv_source_overlap estimates track the exact cross-source overlap") {
+    import graft.operators.Dedup
+    // exact per-pair union / Jaccard from the full per-source hash sets
+    val docSrc = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id", "source")
+    val sets = Dedup.stagedShingles(spark, sf0001)
+      .join(docSrc, "doc_id")
+      .select(col("source"), graft.functions.PortableHash.hash60(col("shingle")).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("kmv_source_overlap")(spark, sf0001).collect()
+    assert(got.length === 6)
+    for (r <- got) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exactU = (sets(a) | sets(b)).size.toDouble
+      val exactJ = (sets(a) & sets(b)).size.toDouble / exactU
+      val estU = r.getAs[Long]("union_est").toDouble
+      val estJppm = r.getAs[Long]("jaccard_ppm")
+      // SE of the K-th order statistic estimator is ~1/sqrt(K) ≈ 6%;
+      // allow 4 SE. Jaccard compares absolutely (it can be near 0).
+      assert(math.abs(estU - exactU) / exactU < 0.25,
+        s"$a-$b union est $estU vs exact $exactU")
+      assert(math.abs(estJppm - exactJ * 1e6) < 150000,
+        s"$a-$b jaccard est $estJppm ppm vs exact ${exactJ * 1e6}")
+      assert(r.getAs[Long]("inter_est") <= r.getAs[Long]("union_est"))
+    }
+  }
+
   test("registered approx queries stay within documented ε of exact values") {
     // the three oracle-exempt entries are approximate BY DESIGN, but
     // "approximate" is a bounded contract, not a free pass: each
