@@ -399,6 +399,27 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     }
+  /** Distinct (doc_id, winnow fingerprint) pairs — K=8 char grams, W=16
+    * window minima (the doc_winnow_fingerprints derivation). Staged:
+    * the per-doc profile reads it once, the cross-doc pair join twice. */
+  def stagedWinnowFps(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|winnowfps") {
+      val K = 8; val W = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - (K - 1)).as("ngrams"),
+          explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"), col("ngrams"),
+          hash60(expr(s"substring(text, pos, $K)")).as("h"))
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") <= col("ngrams") - (W - 1))
+        .select(col("doc_id"), col("fp")).distinct()
+    }
+
   def stagedGrams(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|grams|$SubstrLen") {
       val L = SubstrLen
@@ -769,24 +790,34 @@ object Dedup {
     // dedupe — the classic local fingerprint set whose overlap detects
     // partial/contained duplication (robust where whole-doc hashing
     // fails). One narrow pass + a window over (doc, pos); linear at scale.
-    "doc_winnow_fingerprints" -> ((s, dir) => {
-      val K = 8; val W = 16
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
-      Tables.documents(s, dir)
-        .filter(length(col("text")) >= K + W - 1)
-        .select(col("doc_id"), col("text"),
-          (length(col("text")) - (K - 1)).as("ngrams"),
-          explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
-        .select(col("doc_id"), col("pos"), col("ngrams"),
-          hash60(expr(s"substring(text, pos, $K)")).as("h"))
-        .withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") <= col("ngrams") - (W - 1))
-        .select(col("doc_id"), col("fp")).distinct()
+    "doc_winnow_fingerprints" -> ((s, dir) =>
+      stagedWinnowFps(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // CROSS-DOCUMENT WINNOWING — the plagiarism / content-reuse detector
+    // the per-doc fingerprint profile exists to feed (Schleimer et al.'s
+    // MOSS shape): doc pairs sharing ≥ 10 winnow fingerprints have
+    // verbatim 8-char fragments surviving the window minimum at ten
+    // separate positions — fragment-level reuse the token-set dedups
+    // (whole-doc similarity) and substring_spans (corpus-frequency,
+    // not pairing) don't report. Same df-cap discipline as the shingle
+    // index: fingerprints appearing in > 64 docs (boilerplate) are
+    // dropped before the self-join, bounding every bucket's pair
+    // fan-out at scale; the staged fingerprint artifact is shared with
+    // doc_winnow_fingerprints and built once per session.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val fps = stagedWinnowFps(s, dir)
+      val rare = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select("fp"), "fp")
+      rare.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 10)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -802,6 +833,21 @@ object Dedup {
 
   /** DuckDB twin of hash60 (see [[graft.functions.PortableHash.sql]]). */
   private def hash60Sql(arg: String): String = graft.functions.PortableHash.sql(arg)
+
+  /** Winnow fingerprint derivation shared by the per-doc profile and the
+    * cross-doc pair oracle (twin of [[stagedWinnowFps]]). */
+  private lazy val winnowCte =
+    s"""grams AS (
+       |  SELECT doc_id, i AS pos, length(text) - 7 AS ngrams,
+       |         ${hash60Sql("substr(text, i, 8)")} AS h
+       |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
+       |  WHERE length(text) >= 23 AND i <= length(text) - 7),
+       |wins AS (
+       |  SELECT doc_id, pos, ngrams,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ngrams - 15)""".stripMargin
 
   private val minhashCols = (0 until NumHashes)
     .map(i => s"min(${hash60Sql(s"'$i|' || shingle")}) AS h$i").mkString(", ")
@@ -1129,19 +1175,19 @@ object Dedup {
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_winnow_fingerprints" ->
-      s"""WITH grams AS (
-         |  SELECT doc_id, i AS pos, length(text) - 7 AS ngrams,
-         |         ${hash60Sql("substr(text, i, 8)")} AS h
-         |  FROM documents, (SELECT unnest(generate_series(1, 8192)) AS i)
-         |  WHERE length(text) >= 23 AND i <= length(text) - 7),
-         |wins AS (
-         |  SELECT doc_id, pos, ngrams,
-         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
-         |  FROM grams),
-         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ngrams - 15)
+      s"""WITH $winnowCte
          |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
          |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+         |        WHERE df <= 64),
+         |rare AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+         |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

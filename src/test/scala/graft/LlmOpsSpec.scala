@@ -207,6 +207,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dedup_winnow_pairs: shared-fingerprint counts match a driver-side replay") {
+    import graft.operators.Dedup
+    val fps = Dedup.stagedWinnowFps(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val expected = byFp.valuesIterator
+      .filter(docs => docs.length >= 2 && docs.length <= 64) // df cap
+      .flatMap(docs => for { i <- docs.indices; j <- (i + 1) until docs.length }
+        yield (docs(i), docs(j)))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 10)
+    val got = SparkEntry.queries("dedup_winnow_pairs")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("shared_fp")).toMap
+    assert(got === expected, "cross-doc fingerprint pair census diverges from replay")
+    assert(got.nonEmpty, "no reuse pairs found — threshold dead on this corpus")
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
   test("dedup_fuzzy_names: census matches a plain-Scala Levenshtein replay") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
