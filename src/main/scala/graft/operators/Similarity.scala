@@ -45,6 +45,42 @@ object Similarity {
 
   /** Attach the L2 norm once per row (codegen'd dot with itself) so pair
     * joins never recompute it. */
+  /** Verified near-dup pair graph (multi-probe sign-LSH candidates +
+    * exact cosine ≥ 0.4), staged once per session: emb_neardup_lsh
+    * lists it, and the density clustering references it three times
+    * (degree gate, core-core edges, border assignment). */
+  private def stagedNeardupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.Staged(s, s"$dir|neardup_pairs") {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val bandVals = array((0 until NeardupBands).map(b =>
+        VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
+      // staged: the band table feeds BOTH the exact side and the 9x probe
+      // side of the candidate join — unstaged, the 8-band sign explode
+      // ran twice (the same convention as Dedup.stagedLshCandidates)
+      val bx = graft.core.Staged(s, s"$dir|neardup_bands") {
+        emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+      }
+      // probe stream: each band value plus its 8 one-bit flips; an
+      // exact-side row then equi-joins any probe within hamming <= 1
+      val probes = bx.select(col("vec_id").as("vec_b"), col("band"),
+        explode(concat(array(col("bval")),
+          array((0 until NeardupBandBits).map(j =>
+            col("bval").bitwiseXOR(lit(1L << j))): _*))).as("bval"))
+      val cand = bx.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
+        .join(probes, Seq("band", "bval"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+          col("nrm").as("na")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+          col("nrm").as("nb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+        .filter(col("score") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+    }
+
   private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", sqrt(DotProductFloat(col("embedding"), col("embedding"))))
 
@@ -119,36 +155,46 @@ object Similarity {
     // (allPairsNeardup) because a registered cartesian product cannot
     // run at corpus scale. The oracle replays this exact multi-probe
     // formulation, so the entry is hash-checked, not rows-only.
-    "emb_neardup_lsh" -> ((s, dir) => {
-      val emb = withNorm(Tables.embeddings(s, dir))
-      val bandVals = array((0 until NeardupBands).map(b =>
-        VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
-      // staged: the band table feeds BOTH the exact side and the 9x probe
-      // side of the candidate join — unstaged, the 8-band sign explode
-      // ran twice (the same convention as Dedup.stagedLshCandidates)
-      val bx = graft.core.Staged(s, s"$dir|neardup_bands") {
-        emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
-      }
-      // probe stream: each band value plus its 8 one-bit flips; an
-      // exact-side row then equi-joins any probe within hamming <= 1
-      val probes = bx.select(col("vec_id").as("vec_b"), col("band"),
-        explode(concat(array(col("bval")),
-          array((0 until NeardupBandBits).map(j =>
-            col("bval").bitwiseXOR(lit(1L << j))): _*))).as("bval"))
-      val cand = bx.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
-        .join(probes, Seq("band", "bval"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-          col("nrm").as("na")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-          col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
-        .filter(col("score") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
-        .orderBy("vec_a", "vec_b")
+    "emb_neardup_lsh" -> ((s, dir) =>
+      stagedNeardupPairs(s, dir).orderBy("vec_a", "vec_b")),
+
+    // DENSITY CLUSTERING (DBSCAN shape) over the embedding space: core
+    // points have ≥ minPts−1 = 2 verified neighbors at cosine ≥ 0.4,
+    // clusters are connected components of the core-core subgraph
+    // labeled by their minimum core id, borders are non-core points
+    // adjacent to a core (assigned the smallest adjacent cluster —
+    // deterministic tie-break); everything else is noise and is simply
+    // absent. The neighbor graph is the SAME staged multi-probe LSH +
+    // exact-verify pair artifact emb_neardup_lsh lists (precision 1.0,
+    // LSH-family recall — this is approximate DBSCAN exactly the way
+    // production density dedup runs it: candidates from buckets, never
+    // all-pairs), so the density pass costs three references to one
+    // staged table + one bounded CC loop. The oracle replays candidates,
+    // verify, degree gate, a recursive-CTE reachability, and the border
+    // assignment — hash-checked end to end.
+    "emb_dbscan" -> ((s, dir) => {
+      val pairs = stagedNeardupPairs(s, dir).select("vec_a", "vec_b")
+      val sym = pairs.select(col("vec_a").as("v"), col("vec_b").as("nb"))
+        .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("nb")))
+      val core = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("v")
+      val coreEdges = pairs
+        .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
+        .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val cc = Dedup.connectedComponents(coreEdges)
+        .select(col("doc_id").as("v"), col("cluster_id"))
+      // cores outside any core-core edge are their own singleton cluster
+      val coreLabels = core.join(cc, Seq("v"), "left")
+        .select(col("v"), coalesce(col("cluster_id"), col("v")).as("cluster_id"))
+      val borders = sym.join(core, Seq("v"), "left_anti")
+        .join(coreLabels.select(col("v").as("nb"), col("cluster_id")), "nb")
+        .groupBy("v").agg(min(col("cluster_id")).as("cluster_id"))
+      coreLabels
+        .select(col("v").as("vec_id"), lit("core").as("role"), col("cluster_id"))
+        .unionByName(borders
+          .select(col("v").as("vec_id"), lit("border").as("role"), col("cluster_id")))
+        .orderBy("vec_id")
     }),
 
 
@@ -493,6 +539,29 @@ object Similarity {
          |FROM hits ORDER BY variant, query_id""".stripMargin)
   }
 
+  /** Shared CTE: the verified near-dup pair graph (twin of
+    * [[stagedNeardupPairs]]) — listed by emb_neardup_lsh, consumed by
+    * the density clustering. */
+  private lazy val neardupPairsCte =
+    s"""bx AS (
+       |  SELECT vec_id, b.band, $neardupBandSql AS bval
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
+       |probes AS (
+       |  SELECT vec_id, band, bval FROM bx
+       |  UNION ALL
+       |  SELECT vec_id, band, xor(bval, CAST(f.p AS BIGINT)) AS bval
+       |  FROM bx, (SELECT unnest([${(0 until NeardupBandBits).map(1L << _).mkString(", ")}]) AS p) f),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bx a JOIN probes b ON a.band = b.band AND a.bval = b.bval
+       |         AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS score
+       |  FROM cand JOIN embeddings a ON vec_a = a.vec_id
+       |            JOIN embeddings b ON vec_b = b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)""".stripMargin
+
   private def baseOracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
       s"""WITH scored AS (
@@ -542,24 +611,37 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     "emb_neardup_lsh" ->
-      s"""WITH bx AS (
-         |  SELECT vec_id, b.band, $neardupBandSql AS bval
-         |  FROM embeddings, (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
-         |probes AS (
-         |  SELECT vec_id, band, bval FROM bx
-         |  UNION ALL
-         |  SELECT vec_id, band, xor(bval, CAST(f.p AS BIGINT)) AS bval
-         |  FROM bx, (SELECT unnest([${(0 until NeardupBandBits).map(1L << _).mkString(", ")}]) AS p) f),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bx a JOIN probes b ON a.band = b.band AND a.bval = b.bval
-         |         AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b,
-         |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS score
-         |FROM cand JOIN embeddings a ON vec_a = a.vec_id
-         |          JOIN embeddings b ON vec_b = b.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+      s"""WITH $neardupPairsCte
+         |SELECT vec_a, vec_b, score FROM pairs
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "emb_dbscan" ->
+      s"""WITH RECURSIVE $neardupPairsCte,
+         |sym AS (SELECT vec_a AS v, vec_b AS nb FROM pairs
+         |        UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |core AS (SELECT v FROM (SELECT v, count(*) AS deg FROM sym GROUP BY 1)
+         |         WHERE deg >= 2),
+         |ce AS (SELECT vec_a, vec_b FROM pairs
+         |       WHERE vec_a IN (SELECT v FROM core) AND vec_b IN (SELECT v FROM core)),
+         |csym AS (SELECT vec_a AS src, vec_b AS dst FROM ce
+         |         UNION ALL SELECT vec_b, vec_a FROM ce),
+         |reach(v, root) AS (
+         |  SELECT src, src FROM csym
+         |  UNION
+         |  SELECT s.dst, r.root FROM reach r JOIN csym s ON s.src = r.v),
+         |cc AS (SELECT v, min(root) AS cl FROM reach GROUP BY 1),
+         |corelab AS (
+         |  SELECT core.v, coalesce(cc.cl, core.v) AS cl
+         |  FROM core LEFT JOIN cc ON core.v = cc.v),
+         |borders AS (
+         |  SELECT sym.v, min(corelab.cl) AS cl
+         |  FROM sym JOIN corelab ON sym.nb = corelab.v
+         |  WHERE sym.v NOT IN (SELECT v FROM core)
+         |  GROUP BY 1)
+         |SELECT v AS vec_id, 'core' AS role, cl AS cluster_id FROM corelab
+         |UNION ALL
+         |SELECT v, 'border', cl FROM borders
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_bucket_histogram" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n

@@ -139,6 +139,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall collapsed (${banded.size}/${exact.size})")
   }
 
+  test("emb_dbscan matches a plain-Scala density-clustering replay of the pair graph") {
+    val pairs = SparkEntry.queries("emb_neardup_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val core = nbrs.filter(_._2.length >= 2).keySet
+    // connected components of the core-core subgraph, labeled by min id
+    var label = core.map(v => v -> v).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (v <- core; nb <- nbrs(v) if core(nb) && label(nb) < label(v)) {
+        label += v -> label(nb); changed = true
+      }
+    }
+    val expected =
+      core.map(v => v -> ("core", label(v))).toMap ++
+        nbrs.keySet.filterNot(core).flatMap { v =>
+          val cs = nbrs(v).filter(core).map(label)
+          if (cs.isEmpty) None else Some(v -> ("border", cs.min))
+        }.toMap
+    val got = SparkEntry.queries("emb_dbscan")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Long]("cluster_id"))).toMap
+    assert(got === expected, "density roles/clusters diverge from plain-Scala replay")
+    assert(got.values.exists(_._1 == "core") && got.values.exists(_._1 == "border"),
+      "degenerate: need both cores and borders at sf0.001")
+  }
+
   test("dedup_semantic: within-cell pairs ⊆ exact all-pairs, keep counts reconcile") {
     val exact = Similarity.allPairsNeardup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
