@@ -215,6 +215,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM-LM SURPRISAL — the CCNet-style language-model quality gate
+    // one order up from text_surprisal's unigram model: each bigram's
+    // conditional surprisal −log₂ P(w₂|w₁) lands in exact integer bits
+    // as bitlen(c(w₁·)) − bitlen(c(w₁w₂)) (the same bit-length trick,
+    // so both engines agree exactly where a float log₂ would drift).
+    // The "LM" is trained and applied in ONE plan: two bounded count
+    // aggregations (bigram heads, bigram pairs) joined back to the
+    // token stream. Repetitive/templated docs score low bits-per-
+    // bigram, incoherent ones high — the two tails a corpus filter
+    // trims. Docs with fewer than two tokens have no bigrams and drop.
+    "text_bigram_surprisal" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+      val heads = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val grams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      pairs.join(grams, Seq("w1", "w2")).join(heads, "w1")
+        .select(col("doc_id"),
+          (length(bin(col("c1"))) - length(bin(col("c2")))).cast("long").as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+          floor(col("surprisal_sum").cast("double") / col("n_bigrams")).cast("long")
+            .as("avg_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Classifier evaluation — the confusion matrix of the heuristic
     // langid against the corpus's gold `lang` labels: the measurement
     // loop every pipeline filter needs before it gates data (a filter
@@ -531,6 +561,22 @@ object TextAnalysis {
         |       CAST(floor(CAST(sum(length(bin(tot.n_total)) - length(bin(cnts.cnt))) AS DOUBLE)
         |         / count(*)) AS BIGINT) AS avg_bucket
         |FROM toks JOIN cnts USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_surprisal" ->
+      """WITH pr AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       (SELECT unnest(generate_series(1, 4096)) AS i)
+        |  WHERE i + 1 <= len(ws)),
+        |heads AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+        |grams AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(length(bin(heads.c1)) - length(bin(grams.c2))) AS BIGINT)
+        |         AS surprisal_sum,
+        |       CAST(floor(CAST(sum(length(bin(heads.c1)) - length(bin(grams.c2))) AS DOUBLE)
+        |         / count(*)) AS BIGINT) AS avg_bucket
+        |FROM pr JOIN grams USING (w1, w2) JOIN heads USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid_eval" ->

@@ -346,6 +346,25 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shingles") <= r.getAs[Long]("n_postings")))
   }
 
+  test("text_bigram_surprisal matches a driver-side bigram LM replay") {
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val pairs = docs.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(p => (id, p)) }
+    val heads = pairs.groupBy(_._2._1).view.mapValues(_.size).toMap
+    val grams = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    def bitlen(x: Int) = 32 - Integer.numberOfLeadingZeros(x)
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val ss = ps.map { case (_, p) => (bitlen(heads(p._1)) - bitlen(grams(p))).toLong }
+      id -> (ps.size.toLong, ss.sum, math.floor(ss.sum.toDouble / ps.size).toLong)
+    }
+    val got = SparkEntry.queries("text_bigram_surprisal")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected, "bigram LM surprisal diverges from driver-side replay")
+    // conditional surprisal is nonnegative: c(w1w2) <= c(w1.)
+    assert(got.values.forall(_._2 >= 0))
+  }
+
   test("text_surprisal: buckets bounded by corpus bit-length, one row per doc") {
     val docs = Tables.documents(spark, sf0001)
     val rows = run("text_surprisal").collect()
