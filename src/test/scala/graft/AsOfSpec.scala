@@ -176,6 +176,34 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("nearest ≡ per-row argmin on randomized data (ties, dup keys, unmatched)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        ts(f"2024-01-01 0${rnd.nextInt(10)}%01d:0${rnd.nextInt(6)}%01d0:00")))
+      .toDF("event_id", "user_id", "ts")
+    // unique (key, ts) on the right so the match is well-defined;
+    // equidistant prev/next pairs arise from the coarse grid (tie → prev)
+    val rightRows = rnd.shuffle((0 to 9).flatMap(k => (0 to 5).map(t =>
+      (k.toLong, ts(f"2024-01-01 0$t%01d:00:00")))))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, i * 1.5) }
+    val right = rightRows.toDF("k", "rts", "rid", "rv").repartition(7)
+
+    val got = AsOf.asOfJoinNearest(left, "user_id", "ts", right, "k", "rts",
+      Seq("rid", "rv"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("rid")).toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = left.collect().flatMap { r =>
+      val (eid, uid, t) = (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      byKey.get(uid).map { cs =>
+        // min |Δt|, tie → backward (earlier right ts)
+        eid -> cs.minBy(c => (math.abs(c._2.getTime - t), c._2.getTime))._3
+      }
+    }.toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("native ≡ compositional on randomized data (incl. ties and dup keys)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
