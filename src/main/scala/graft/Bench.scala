@@ -50,10 +50,21 @@ object Bench {
     // observed 3-8x outliers that vanish when the query runs alone.)
     // A failed query must NOT masquerade as a fast one: report it as -1
     // and list it under "errors" instead of timing the failure path.
+    //
+    // Drive with FULL MATERIALIZATION, not count(): under count() Catalyst
+    // prunes every column no aggregate references — a projection-only
+    // rewrite (text_pii_redact's regexp passes, text_nfc_normalize)
+    // collapses to a bare row-count scan and its "latency" is fiction.
+    // queryExecution.toRdd executes the exact plan of the query as
+    // written — every output column computed, final sort included — and
+    // the foreach drains it distributed, nothing returns to the driver.
     def timeOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try {
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false

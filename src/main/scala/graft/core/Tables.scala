@@ -20,18 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong, so
-    * ts arrives as nanos-since-epoch LongType; convert to a microsecond
-    * TimestampType here (truncation never crosses a bucket boundary).
+  /** The driver has shipped events.parquet's ts under two encodings:
+    * deprecated INT64 TIMESTAMP(NANOS) — which Spark's reader rejects
+    * unless spark.sql.legacy.parquet.nanosAsLong maps it to
+    * nanos-since-epoch LongType — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which reads as TIMESTAMP_NTZ. Normalize
+    * both to session-zone TimestampType (every graft session pins UTC),
+    * so downstream casts (`ts.cast("long")`), window buckets, and
+    * date_format see one type with identical values either way —
+    * NTZ→LTZ under a UTC session is instant-preserving, and the
+    * nanos→micros truncation never crosses a bucket boundary.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -90,14 +90,27 @@ object TextAnalysis {
     * any lowercase corpus. Per round: one narrow scan, one bounded
     * aggregation, ONE single-row driver fetch (the argmax — same bounded
     * driver action as an iterative fixpoint's convergence count), and a
-    * localCheckpoint lineage cut so round N's plan doesn't replay rounds
-    * 1..N-1's replaces from scratch.
+    * [[graft.operators.CheckpointStrategy]] lineage cut so round N's plan
+    * doesn't replay rounds 1..N-1's replaces from scratch.
+    *
+    * Checkpoint posture, same contract as the Graph/Dedup loops: `Local`
+    * (the default) pins round state in executor-local blocks — fine
+    * single-node, but one executor loss kills a long training run and N
+    * rounds hold N corpus rewrites. A cluster run should pass
+    * `Reliable(dir)` so round state lands on fault-tolerant storage.
+    * Production posture at 100 TB: train the merge table on a
+    * deterministic hash-sample of the corpus (pair statistics converge
+    * long before full-corpus counts; `Sampling.hashSplit` gives the
+    * sample), then apply the learned merges corpus-wide — the apply side
+    * (`text_bpe_encode`) is a linear narrow pass and already scales.
     *
     * Returns (round, merged_pair, pair_count) for rounds 1..n.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int): Seq[(Int, String, Long)] = {
+  def bpeTrain(docs: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): Seq[(Int, String, Long)] = {
     require(rounds >= 1 && rounds <= 4096, s"rounds out of range: $rounds")
-    var corpus = docs.select(col("text")).localCheckpoint()
+    var corpus = ckpt.cut(docs.select(col("text")))
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val top = corpus
@@ -113,10 +126,9 @@ object TextAnalysis {
       val cnt = top(0).getAs[Long]("cnt")
       merges += ((r, pair, cnt))
       val marker = (0xE000 + (r - 1)).toChar.toString
-      corpus = corpus
+      corpus = ckpt.cut(corpus
         .select(regexp_replace(col("text"),
-          java.util.regex.Pattern.quote(pair), marker).as("text"))
-        .localCheckpoint()
+          java.util.regex.Pattern.quote(pair), marker).as("text")))
     }
     merges.result()
   }

@@ -57,22 +57,46 @@ object Graph {
 
   /** `iters` rounds of r_{k+1}(j) = Σ_{i→j} w(i,j)·r_k(i), starting from
     * r_0 ≡ 1. Nodes with no in-edges drop out after round 1 (nothing
-    * flows into them), mirroring the unrolled SQL. Long arithmetic
-    * overflows past ~sf1 at 3 iterations (max rank ≈ (Σw)³); production
-    * would renormalize per round, which would leave integers. */
+    * flows into them), mirroring the unrolled SQL.
+    *
+    * Overflow safety: with `renormalize` (the default) each round's ranks
+    * are rescaled by a deterministic power of two so the NEXT round's
+    * Long sums provably fit. The sum into any node is bounded by
+    * max_r · Σw, so keeping bitlen(max_r) ≤ 62 − bitlen(Σw) keeps every
+    * product and partial sum under 2^62 at any scale factor — the raw
+    * kernel wraps near sf1 at 3 iterations (max rank ≈ (Σw)³). The shift
+    * comes from integer-exact bit lengths (`length(bin(x))`, identical in
+    * Spark and DuckDB), never a float log, so the oracle replays the same
+    * schedule and results stay bit-exact cross-engine; relative ranking
+    * is preserved (a shared right-shift is monotone). Small inputs shift
+    * by 0 and reproduce the raw kernel exactly. Both the shift scalar and
+    * the budget are 1-row aggregates broadcast in-plan — no driver fetch. */
   def powerIterate(edges: DataFrame, iters: Int,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local,
+      renormalize: Boolean = true): DataFrame = {
     val e = ckpt.cut(edges)
+    // 1-row headroom budget: ranks may hold 62 − bitlen(Σw) bits
+    lazy val budget = ckpt.cut(
+      e.agg((lit(62) - length(bin(sum(col("w"))))).as("bud")))
     var ranks = ckpt.cut(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
         .withColumn("r", lit(1L)))
     for (_ <- 1 to iters) {
-      ranks = ckpt.cut(e
+      val raw = e
         .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("r_src")).as("r")))
+        .agg(sum(col("w") * col("r_src")).as("r"))
+      ranks =
+        if (!renormalize) ckpt.cut(raw)
+        else {
+          val cutRaw = ckpt.cut(raw)
+          val sh = cutRaw.crossJoin(budget)
+            .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
+          ckpt.cut(cutRaw.crossJoin(broadcast(sh))
+            .select(col("node"), expr("shiftright(r, sh)").as("r")))
+        }
     }
     ranks
   }
@@ -274,17 +298,27 @@ object Graph {
       |  WHERE n1.n_name <> n2.n_name
       |  GROUP BY 1, 2)""".stripMargin
 
-  // each round's sum is cast back to BIGINT: DuckDB sum(BIGINT) widens
-  // to HUGEINT, which the compare renders as float
+  // Renormalized round CTE triplet — raw sum, power-of-two shift from
+  // integer bit lengths, rescaled ranks: the exact schedule powerIterate
+  // applies (shift 0 on small data, so small-sf results are unchanged).
+  // Each sum is cast back to BIGINT: DuckDB sum(BIGINT) widens to
+  // HUGEINT, which the compare renders as float.
   private def roundCte(k: Int): String =
-    s"""r$k AS (
+    s"""r${k}_raw AS (
        |  SELECT e.dst AS node, CAST(sum(e.w * r${k - 1}.r) AS BIGINT) AS r
        |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
-       |  GROUP BY 1)""".stripMargin
+       |  GROUP BY 1),
+       |r${k}_sh AS (
+       |  SELECT greatest(0, max(length(bin(r))) - (SELECT bud FROM bud)) AS sh
+       |  FROM r${k}_raw),
+       |r$k AS (
+       |  SELECT node, CAST(r >> (SELECT sh FROM r${k}_sh) AS BIGINT) AS r
+       |  FROM r${k}_raw)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "graph_power_rank" ->
       s"""WITH $edgeCte,
+         |bud AS (SELECT 62 - length(bin(CAST(sum(w) AS BIGINT))) AS bud FROM e),
          |r0 AS (
          |  SELECT node, CAST(1 AS BIGINT) AS r
          |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),

@@ -19,6 +19,7 @@ object Similarity {
 
   private val TopK = 10
   private val QuerySetSize = 5 // vec_id < 5 are the query vectors
+  private val BatchTopK = 3 // per-query k for the unbounded-query batch search
   private val BucketBits = 8
   // banded near-dup LSH: 8 bands × 8 sign bits tile the 64 dims
   private val NeardupBands = 8
@@ -310,6 +311,39 @@ object Similarity {
             (col("nrm") * col("qn"))).as("score"))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // BATCH trained-IVF search — the QUERY-AXIS scale path the broadcast
+    // variants don't prove: here the query set is the WHOLE corpus
+    // (every vector retrieves its top-3 cellmates — the shape of
+    // kNN-graph construction, recommendation backfill, or scoring 10⁶+
+    // queries against an IVF index), so the query side cannot broadcast.
+    // Both sides partition by `cell` into a shuffle hash join: corpus
+    // cell lists and the queries assigned to that cell land on the same
+    // executor, per-cell work Σ n_cell² is the same in-cell confinement
+    // the other trained-cell queries rely on, and NOTHING is proportional
+    // to |queries| on any single node. The top-k window then partitions
+    // by query_id — also unbounded, also hash-distributed. Same trained
+    // assignment artifact as ann_ivf_trained_topk (train once, reuse);
+    // the oracle replays training + in-cell search without the
+    // 5-query filter.
+    "ann_ivf_trained_batch" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val assigned = emb.join(Clustering.trainedCells(s, dir), "vec_id")
+      val q = assigned
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.hint("shuffle_hash").join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= BatchTopK)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
@@ -747,6 +781,24 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, rank, vec_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    // batch variant: same trained cells, every vector is a query, top-3
+    "ann_ivf_trained_batch" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, a2.cell
+         |  FROM embeddings e JOIN a2 USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM assigned e JOIN assigned q ON e.cell = q.cell
+         |  WHERE e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $BatchTopK ORDER BY query_id, rank""".stripMargin,
 
     // SemDeDup: within-trained-cell pairs above the cosine threshold —
     // the same a2 assignment CTE as kmeans/trained-IVF, so all three

@@ -82,6 +82,46 @@ object Attribution {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateFn)
   }
 
+  // -------------------------------------------------------------------
+  // transformWithState variant — the same last-touch credit on Spark
+  // 4.x's supported arbitrary-state API (same pattern as
+  // Sessionize.SessionProcessor / Funnel.FunnelProcessor): a typed
+  // ValueState[Touch] carrying the one-row-per-user state, the fold
+  // shared with the GroupState path so the two APIs cannot drift. No
+  // timers — credits emit the moment the purchase arrives; the Touch
+  // persists indefinitely (production would add TTLConfig for idle-user
+  // retention, which changes retention, not credit). Streaming-only;
+  // requires the RocksDB state store provider.
+
+  class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Credit] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Touch] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Touch]("touch",
+        org.apache.spark.sql.Encoders.product[Touch],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Credit] = {
+      val (out, touch) = fold(rows.toArray.sortBy(sortKey).iterator,
+        if (st.exists()) Some(st.get()) else None)
+      touch.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming credits on transformWithState; run with the RocksDB state
+    * store provider, append output mode. */
+  def attributionTWS(df: DataFrame): Dataset[Credit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    asEv(df).groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[Credit]])
+  }
+
   /** Batch-shaped output matching the events_attribution oracle columns. */
   def attributionBatch(df: DataFrame): DataFrame =
     attributionBatchDs(df)

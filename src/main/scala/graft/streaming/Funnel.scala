@@ -96,4 +96,46 @@ object Funnel {
       .mapGroupsWithState[FunnelState, (Long, Int)](GroupStateTimeout.NoTimeout)(updateFn)
       .toDF("user_id", "stage")
   }
+
+  // -------------------------------------------------------------------
+  // transformWithState variant — the same funnel transition on Spark
+  // 4.x's supported arbitrary-state API (same pattern as
+  // Sessionize.SessionProcessor): a typed ValueState[FunnelState], the
+  // per-batch fold shared with the GroupState path (advance), so the two
+  // APIs cannot drift. No timers — funnel progress has no gap horizon to
+  // flush; each trigger re-emits the user's current stage (update-mode
+  // semantics). Streaming-only; requires the RocksDB state store
+  // provider (a transformWithState engine restriction).
+
+  class FunnelProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Int)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int)] = {
+      val sorted = rows.toArray.sortBy(_.ts.getTime).iterator
+      val next = advance(
+        if (st.exists()) st.get() else FunnelState(Unset, Unset, Unset), sorted)
+      st.update(next)
+      Iterator.single((key, stageOf(next)))
+    }
+  }
+
+  /** Streaming funnel on transformWithState; run with the RocksDB state
+    * store provider, update output mode. */
+  def funnelStreamTWS(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Int)]])
+      .toDF("user_id", "stage")
+  }
 }

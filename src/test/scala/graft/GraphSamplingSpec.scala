@@ -24,6 +24,38 @@ class GraphSamplingSpec extends SparkSpec {
     assert(r2 === Map("c" -> 6L))
   }
 
+  test("powerIterate renormalization survives weights that wrap the raw kernel") {
+    import spark.implicits._
+    // 3-cycle with w = 2^21: the raw kernel's round-3 rank is (2^21)^3 =
+    // 2^63 — exactly one past Long.MaxValue
+    val w = 1L << 21
+    val edges = Seq(("a", "b", w), ("b", "c", w), ("c", "a", w)).toDF("src", "dst", "w")
+    // prove the test isn't vacuous: the unguarded kernel wraps (or, under
+    // ANSI arithmetic, raises) on this input
+    val rawBroken =
+      try Graph.powerIterate(edges, 3, renormalize = false)
+        .collect().exists(_.getLong(1) <= 0L)
+      catch { case _: Throwable => true }
+    assert(rawBroken, "expected the unguarded kernel to overflow on 2^63")
+    // renormalized schedule, replayed by hand: bud = 62 − bitlen(3·2^21)
+    // = 39; r1 = 2^21 (shift 0), r2 = 2^42 >> 4 = 2^38, r3 = 2^59 >> 21
+    // = 2^38 — positive and exact, same for all three cycle nodes
+    val got = Graph.powerIterate(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> (1L << 38), "b" -> (1L << 38), "c" -> (1L << 38)))
+  }
+
+  test("powerIterate renormalization shifts by zero on small weights (raw ≡ renorm)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 3L))
+      .toDF("src", "dst", "w")
+    val renorm = Graph.powerIterate(edges, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = Graph.powerIterate(edges, 2, renormalize = false).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(renorm === raw)
+  }
+
   test("graph_triangles matches a brute-force enumeration of the trade graph") {
     import org.apache.spark.sql.functions.{col, greatest, least}
     val und = graft.operators.Graph.tradeEdges(spark, sf0001)

@@ -48,7 +48,13 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val analyzed = SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
       analyzed.foreach {
-        case h: ResolvedHint =>
+        // only BROADCAST-strategy hints replicate a side to every
+        // executor; a shuffle_hash/merge hint (e.g. the batch IVF
+        // query-axis join) keeps the side partitioned and may sit on any
+        // table at any scale
+        case h: ResolvedHint
+            if h.hints.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
           val leafTables = h.child.collectLeaves().flatMap {
             case lr: LogicalRelation => lr.relation match {
               case fs: HadoopFsRelation =>
@@ -170,6 +176,22 @@ class PlanAuditSpec extends SparkSpec {
     val pq = plan("ann_pq_adc")
     assert(pq.toLowerCase.contains("codelookupsum"), pq)
     assert(!pq.contains("CartesianProduct"), pq)
+  }
+
+  test("batch IVF search shuffles the unbounded query side — never broadcasts it") {
+    // the query-axis scale proof: with every corpus vector querying its
+    // own cell, the cell join must be a ShuffledHashJoin (both sides
+    // hash-partitioned on cell). A BroadcastHashJoin here would ship the
+    // FULL query set to every executor — exactly what dies at 10⁶+
+    // queries. The only broadcasts allowed in this plan are the bounded
+    // training internals (16 centroids / scalar aggregates).
+    val p = plan("ann_ivf_trained_batch")
+    val cellJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[cell")).toSeq
+    assert(cellJoins.nonEmpty, s"no cell-keyed join found:\n$p")
+    assert(cellJoins.forall(_.contains("ShuffledHashJoin")),
+      s"cell join must shuffle, not broadcast, the query side:\n${cellJoins.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("interval outer join keeps the equi key (no nested loop)") {

@@ -155,6 +155,19 @@ class RelationalSpec extends SparkSpec {
     assert(merges.take(2).map(m => (m._2, m._3)) === unrolled.toSeq)
   }
 
+  test("bpeTrain under Reliable checkpointing ≡ Local, with round state on disk") {
+    import graft.core.Tables
+    import graft.functions.TextAnalysis
+    import graft.operators.CheckpointStrategy
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt").toString
+    val local = TextAnalysis.bpeTrain(Tables.documents(spark, sf0001), 3)
+    val reliable = TextAnalysis.bpeTrain(Tables.documents(spark, sf0001), 3,
+      CheckpointStrategy.Reliable(dir))
+    assert(local === reliable)
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, s"no checkpoint data under $dir")
+  }
+
   test("events_outliers: Chebyshev-bounded and totals conserved") {
     import graft.core.Tables
     val rows = run("events_outliers").collect()

@@ -161,6 +161,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDB[T](body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("transformWithState funnel: final stages match declarative funnel (RocksDB store)") {
+    val declarative = EventTime.queries("events_funnel")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("users")).toMap
+    val batchEvents = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-funnel-tws-in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    withRocksDB {
+      val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+      val got = Streams.runToCompletion(spark,
+        graft.streaming.Funnel.funnelStreamTWS(streamed), "funnel_tws_stream",
+        mode = "update")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byStage = (1 to 3).map(k =>
+        k.toLong -> got.values.count(_ >= k).toLong).toMap
+      assert(byStage === declarative,
+        s"TWS stream stages $byStage vs declarative $declarative")
+    }
+  }
+
+  test("transformWithState attribution: Touch crosses micro-batches (RocksDB store)") {
+    import spark.implicits._
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-attr-tws-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dest)
+    }
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val in = Files.createTempDirectory("graft-attr-tws-in")
+    writeOne(Seq((1L, 1L, ts(0), "click", 1.0), (2L, 2L, ts(1), "purchase", 10.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f1.parquet"))
+    Thread.sleep(1100) // strictly later mtime => deterministic batch order
+    writeOne(Seq((1L, 3L, ts(2), "purchase", 20.0), (1L, 4L, ts(3), "view", 1.0),
+      (1L, 5L, ts(4), "purchase", 30.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f2.parquet"))
+    Thread.sleep(1100)
+    withRocksDB {
+      val streamed = spark.readStream.schema(
+        Tables.events(spark, sf0001).select("user_id", "event_id", "ts", "event_type", "value").schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val got = Streams.runToCompletion(spark,
+        graft.streaming.Attribution.attributionTWS(streamed).toDF(), "attr_tws_stream",
+        mode = "append")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      // identical cross-batch credit semantics as the GroupState path:
+      // u1's batch-2 purchase credits the batch-1 click via carried state
+      assert(got === Seq(("click", 20.0), ("none", 10.0), ("view", 30.0)).sorted,
+        s"got $got")
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer ≡ declarative session_window query") {
     val stateful = SparkEntry.queries("sessionize_stateful")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
