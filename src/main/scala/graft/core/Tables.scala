@@ -39,6 +39,13 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       case TimestampNTZType =>
+        // NTZ→LTZ is instant-preserving ONLY under a UTC session zone; a
+        // caller-built session in another zone would silently shift every
+        // event timestamp, so enforce the convention instead of assuming it.
+        val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+        require(tz == "UTC",
+          s"graft.Tables.events: NTZ ts normalization requires spark.sql.session.timeZone=UTC (got $tz); " +
+            "set it on the session builder as every graft entry point does")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

@@ -327,6 +327,41 @@ object TextAnalysis {
         .orderBy("round")
     }),
 
+    // SAMPLE-TRAINED BPE — the 100 TB posture [[bpeTrain]]'s scaladoc
+    // prescribes, now executable instead of described: both merges are
+    // trained on a deterministic 50% hash slice of the corpus (the same
+    // md5 bucket rule as sample_hash_split — reproducible across
+    // engines, retries, and repartitions, never rand()), then applied
+    // corpus-wide. Pair statistics converge long before full-corpus
+    // counts, so training cost scales with the SAMPLE while the apply
+    // side stays the linear narrow per-row rewrite that already scales
+    // with the scan. Output shape matches text_bpe_encode so sampled
+    // and full-corpus training are directly comparable.
+    "text_bpe_train_sampled" -> ((s, dir) => {
+      def pairTop(df: DataFrame, c: String): DataFrame = df
+        .filter(length(col(c)) >= 2)
+        .select(explode(sequence(lit(1),
+          least(length(col(c)) - 1, lit(8192)))).as("i"), col(c))
+        .select(expr(s"substring($c, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(1)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sample = docs
+        .filter(pmod(graft.functions.PortableHash.hash60(col("doc_id").cast("string")),
+          lit(100L)) < 50)
+        .select(col("text"))
+      val top1 = pairTop(sample, "text").select(col("pair").as("p1"))
+      val sampleMerged = sample.crossJoin(broadcast(top1))
+        .select(expr("replace(text, p1, 'A')").as("t1"))
+      val top2 = pairTop(sampleMerged, "t1").select(col("pair").as("p2"))
+      docs.crossJoin(broadcast(top1)).crossJoin(broadcast(top2))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len0"),
+          length(expr("replace(text, p1, 'A')")).cast("long").as("len1"),
+          length(expr("replace(replace(text, p1, 'A'), p2, 'B')")).cast("long").as("len2"))
+        .orderBy("doc_id")
+    }),
+
     // BPE ENCODE — the apply side of text_bpe_train: the two trained
     // merges (derived in-plan from the same pair statistics, so trainer
     // and encoder can never drift) are applied to every document and the
@@ -633,6 +668,27 @@ object TextAnalysis {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), pair, cnt FROM p2t
         |ORDER BY round""".stripMargin,
+
+    "text_bpe_train_sampled" ->
+      s"""WITH samp AS (
+         |  SELECT text FROM documents
+         |  WHERE ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 100 < 50),
+         |p1t AS (
+         |  SELECT substr(text, i, 2) AS pair, count(*) AS cnt
+         |  FROM samp, (SELECT unnest(generate_series(1, 8192)) AS i)
+         |  WHERE length(text) >= 2 AND i <= least(length(text) - 1, 8192)
+         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+         |sm AS (SELECT replace(text, (SELECT pair FROM p1t), 'A') AS t1 FROM samp),
+         |p2t AS (
+         |  SELECT substr(t1, i, 2) AS pair, count(*) AS cnt
+         |  FROM sm, (SELECT unnest(generate_series(1, 8192)) AS i)
+         |  WHERE length(t1) >= 2 AND i <= least(length(t1) - 1, 8192)
+         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)
+         |SELECT doc_id, length(text) AS len0,
+         |       length(replace(text, (SELECT pair FROM p1t), 'A')) AS len1,
+         |       length(replace(replace(text, (SELECT pair FROM p1t), 'A'),
+         |                      (SELECT pair FROM p2t), 'B')) AS len2
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_bpe_encode" ->
       """WITH p1t AS (

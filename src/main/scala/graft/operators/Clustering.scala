@@ -104,6 +104,25 @@ object Clustering {
       assign(emb, cents1).select(col("vec_id"), col("cell"))
     }
 
+  /** (vec_id, cell) for each vector's `nprobe` nearest TRAINED centroids
+    * — the multi-probe query fan-out of the batch IVF search (probe 1 IS
+    * the a2 assignment: same score, same smaller-cid tiebreak, via the
+    * same lexicographic struct sort as [[assign]]'s argmin, just sliced
+    * to P instead of 1). Shuffle-free like assign — one broadcast
+    * centroid row, row-wise ranking, a P-row explode per vector. */
+  private[graft] def trainedProbes(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    graft.core.Staged(s, s"$dir|ivf_trained_probes_$nprobe") {
+      val (emb, cents1) = trained(s, dir)
+      emb.crossJoin(broadcast(centRow(cents1)))
+        .select(col("vec_id"),
+          explode(slice(array_sort(transform(col("cents"), c =>
+            struct(
+              (DotProductInt(c.getField("carr"), c.getField("carr")) -
+                lit(2L) * DotProductInt(col("qarr"), c.getField("carr"))).as("s"),
+              c.getField("cid").as("cid")))), 1, nprobe)).as("pr"))
+        .select(col("vec_id"), col("pr").getField("cid").as("cell"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Two Lloyd rounds from deterministic seeds (vec_id 16..31):
@@ -155,6 +174,16 @@ object Clustering {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |    FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** `probes` CTE appended after [[trainedCellsCtes]]: each vector's
+    * `nprobe` nearest round-1 centroids under the identical (d2, cid)
+    * ranking a2 uses — rn = 1 reproduces a2 exactly, so the multi-probe
+    * oracle strictly widens the single-probe one. */
+  private[operators] def trainedProbesCte(nprobe: Int): String =
+    s"""probes AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dd) WHERE rn <= $nprobe)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "kmeans_lloyd" ->

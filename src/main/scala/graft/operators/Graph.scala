@@ -63,8 +63,11 @@ object Graph {
     * are rescaled by a deterministic power of two so the NEXT round's
     * Long sums provably fit. The sum into any node is bounded by
     * max_r · Σw, so keeping bitlen(max_r) ≤ 62 − bitlen(Σw) keeps every
-    * product and partial sum under 2^62 at any scale factor — the raw
-    * kernel wraps near sf1 at 3 iterations (max rank ≈ (Σw)³). The shift
+    * product and partial sum under 2^62 whenever bitlen(Σw) ≤ 61 — the
+    * raw kernel wraps near sf1 at 3 iterations (max rank ≈ (Σw)³). Past
+    * that envelope (Σw ≥ 2^61, i.e. exabyte-count edge weight) no shift
+    * schedule leaves rank headroom and the plan raises in the budget
+    * aggregate instead of silently zeroing ranks. The shift
     * comes from integer-exact bit lengths (`length(bin(x))`, identical in
     * Spark and DuckDB), never a float log, so the oracle replays the same
     * schedule and results stay bit-exact cross-engine; relative ranking
@@ -75,9 +78,19 @@ object Graph {
       ckpt: CheckpointStrategy = CheckpointStrategy.Local,
       renormalize: Boolean = true): DataFrame = {
     val e = ckpt.cut(edges)
-    // 1-row headroom budget: ranks may hold 62 − bitlen(Σw) bits
+    // 1-row headroom budget: ranks may hold 62 − bitlen(Σw) bits. The
+    // scheme needs at least 1 bit of rank headroom, i.e. bitlen(Σw) ≤ 61
+    // (Σw itself a positive Long — a negative/overflowed total bins to 64
+    // chars and fails the same guard). Outside that envelope no shift
+    // schedule can keep the products exact, so fail loudly in-plan via
+    // raise_error rather than silently collapsing every rank to 0.
     lazy val budget = ckpt.cut(
-      e.agg((lit(62) - length(bin(sum(col("w"))))).as("bud")))
+      e.agg((lit(62) - coalesce(length(bin(sum(col("w")))), lit(0))).as("bud0"))
+        .select(when(col("bud0") >= 1, col("bud0"))
+          .otherwise(raise_error(lit(
+            "powerIterate: renormalization needs bitlen(sum(w)) <= 61; " +
+              "total edge weight leaves no rank headroom")))
+          .as("bud")))
     var ranks = ckpt.cut(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))

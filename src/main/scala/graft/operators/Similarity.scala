@@ -20,6 +20,7 @@ object Similarity {
   private val TopK = 10
   private val QuerySetSize = 5 // vec_id < 5 are the query vectors
   private val BatchTopK = 3 // per-query k for the unbounded-query batch search
+  private val BatchProbes = 2 // nprobe for the batch multi-probe search
   private val BucketBits = 8
   // banded near-dup LSH: 8 bands × 8 sign bits tile the 64 dims
   private val NeardupBands = 8
@@ -336,6 +337,40 @@ object Similarity {
       val q = assigned
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cell"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.hint("shuffle_hash").join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= BatchTopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // MULTI-PROBE batch IVF — ann_ivf_trained_batch widened to nprobe=2,
+    // marrying ann_multiprobe_topk's recall lift with the query-axis
+    // scale plan: each query searches its own trained cell PLUS its
+    // second-nearest (cell-boundary neighbors are exactly what a single
+    // probe misses; recall rises at 2× in-cell candidate cost). The
+    // probe fan-out keeps the batch shape intact — queries explode to
+    // (query_id, cell) rows, BOTH sides shuffle-hash on `cell` (the
+    // query side is the whole corpus ×P and can never broadcast),
+    // per-cell work stays Σ n_cell·|probes into cell| with nothing
+    // proportional to |queries| on one node, and the top-k window
+    // hash-partitions by query_id. Each corpus vector lives in exactly
+    // one cell and a query's P probes are distinct cells, so no
+    // candidate pair is scored twice — no dedup pass needed.
+    "ann_ivf_trained_batch_mp" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val assigned = emb.join(Clustering.trainedCells(s, dir), "vec_id")
+      val probes = Clustering.trainedProbes(s, dir, BatchProbes)
+      val q = emb
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
+        .join(probes.select(col("vec_id").as("query_id"), col("cell")), "query_id")
       val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
       assigned.hint("shuffle_hash").join(q, Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -793,6 +828,28 @@ object Similarity {
          |         ${cosineSql("e.embedding", "q.embedding")} AS score
          |  FROM assigned e JOIN assigned q ON e.cell = q.cell
          |  WHERE e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= $BatchTopK ORDER BY query_id, rank""".stripMargin,
+
+    // multi-probe batch: same training chain + the probes CTE (rn ≤ P
+    // under a2's exact ranking), queries meet cells via the probe rows
+    "ann_ivf_trained_batch_mp" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |${Clustering.trainedProbesCte(BatchProbes)},
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, a2.cell
+         |  FROM embeddings e JOIN a2 USING (vec_id)),
+         |scored AS (
+         |  SELECT p.vec_id AS query_id, e.vec_id AS vec_id,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM probes p
+         |  JOIN assigned e ON e.cell = p.cell
+         |  JOIN embeddings q ON q.vec_id = p.vec_id
+         |  WHERE e.vec_id <> p.vec_id),
          |ranked AS (
          |  SELECT query_id, vec_id, score,
          |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank

@@ -88,19 +88,28 @@ object Attribution {
   // Sessionize.SessionProcessor / Funnel.FunnelProcessor): a typed
   // ValueState[Touch] carrying the one-row-per-user state, the fold
   // shared with the GroupState path so the two APIs cannot drift. No
-  // timers — credits emit the moment the purchase arrives; the Touch
-  // persists indefinitely (production would add TTLConfig for idle-user
-  // retention, which changes retention, not credit). Streaming-only;
-  // requires the RocksDB state store provider.
+  // timers — credits emit the moment the purchase arrives. State
+  // retention: with the default TTLConfig.NONE the Touch persists
+  // indefinitely — at 100× user cardinality that is a real RocksDB
+  // footprint, so production passes a processing-time TTL (the engine
+  // requires TimeMode.ProcessingTime for TTL state — attributionTWS
+  // switches mode automatically; this processor registers no timers, so
+  // the mode change affects only retention). An expired idle user's
+  // Touch simply vanishes: their next purchase credits "none" and their
+  // next view/click re-creates state cleanly — retention changes, credit
+  // logic does not. Streaming-only; requires the RocksDB state store
+  // provider.
 
-  class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Credit] {
+  class AttributionProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Credit] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[Touch] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[Touch]("touch",
-        org.apache.spark.sql.Encoders.product[Touch],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[Touch], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Credit] = {
@@ -112,13 +121,27 @@ object Attribution {
   }
 
   /** Streaming credits on transformWithState; run with the RocksDB state
-    * store provider, append output mode. */
-  def attributionTWS(df: DataFrame): Dataset[Credit] = {
+    * store provider, append output mode. A non-NONE `ttl` bounds idle-user
+    * state retention (and flips the operator to processing-time mode,
+    * which the engine requires for TTL state — behavior is otherwise
+    * identical: no timers are registered). Caveat for bounded harnesses:
+    * in processing-time mode every no-data micro-batch advances the
+    * clock and schedules another for TTL eviction, so Trigger.AvailableNow
+    * never drains unless spark.sql.streaming.noDataMicroBatches.enabled
+    * is false (expired state is skipped lazily on read either way —
+    * eviction batches only reclaim storage). */
+  def attributionTWS(df: DataFrame,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[Credit] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     asEv(df).groupByKey(_.user_id)
-      .transformWithState(new AttributionProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+      .transformWithState(new AttributionProcessor(ttl),
+        timeMode, OutputMode.Append(),
         implicitly[org.apache.spark.sql.Encoder[Credit]])
   }
 

@@ -24,7 +24,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Funnel {
 
-  case class Ev(user_id: Long, event_type: String, ts: Timestamp)
+  case class Ev(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
+
+  /** Deterministic in-group order: event time, then event_id so
+    * equal-timestamp events fold identically on every run (the same
+    * tie-break [[Attribution]] uses). */
+  private def ordered(evs: Iterator[Ev]): Iterator[Ev] =
+    evs.toArray.sortBy(e => (e.ts.getTime, e.event_id)).iterator
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   val StepMs: Long = 60 * 60 * 1000L
@@ -55,11 +61,11 @@ object Funnel {
   def funnelBatch(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val stages = events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+    val stages = events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id")).as[Ev]
       .groupByKey(_.user_id)
       .mapGroups { (uid, it) =>
-        val sorted = it.toArray.sortBy(_.ts.getTime).iterator
-        (uid, stageOf(advance(FunnelState(Unset, Unset, Unset), sorted)))
+        (uid, stageOf(advance(FunnelState(Unset, Unset, Unset), ordered(it))))
       }
       .toDF("user_id", "stage")
     val counts = stages.agg(
@@ -76,8 +82,8 @@ object Funnel {
 
   private def updateFn(uid: Long, events: Iterator[Ev],
                        state: GroupState[FunnelState]): (Long, Int) = {
-    val sorted = events.toArray.sortBy(_.ts.getTime).iterator
-    val next = advance(state.getOption.getOrElse(FunnelState(Unset, Unset, Unset)), sorted)
+    val next = advance(
+      state.getOption.getOrElse(FunnelState(Unset, Unset, Unset)), ordered(events))
     state.update(next)
     (uid, stageOf(next))
   }
@@ -91,7 +97,7 @@ object Funnel {
   def funnelStream(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id")).as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, (Long, Int)](GroupStateTimeout.NoTimeout)(updateFn)
       .toDF("user_id", "stage")
@@ -107,34 +113,48 @@ object Funnel {
   // semantics). Streaming-only; requires the RocksDB state store
   // provider (a transformWithState engine restriction).
 
-  class FunnelProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Int)] {
+  class FunnelProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Int)] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[FunnelState]("funnel",
-        org.apache.spark.sql.Encoders.product[FunnelState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[FunnelState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int)] = {
-      val sorted = rows.toArray.sortBy(_.ts.getTime).iterator
       val next = advance(
-        if (st.exists()) st.get() else FunnelState(Unset, Unset, Unset), sorted)
+        if (st.exists()) st.get() else FunnelState(Unset, Unset, Unset), ordered(rows))
       st.update(next)
       Iterator.single((key, stageOf(next)))
     }
   }
 
   /** Streaming funnel on transformWithState; run with the RocksDB state
-    * store provider, update output mode. */
-  def funnelStreamTWS(events: DataFrame): DataFrame = {
+    * store provider, update output mode. A non-NONE `ttl` bounds idle-user
+    * state retention — an expired user restarts the funnel from stage 0 on
+    * their next event (and the operator flips to processing-time mode,
+    * which the engine requires for TTL state; no timers are registered,
+    * so behavior is otherwise identical). Bounded harnesses (AvailableNow)
+    * must disable spark.sql.streaming.noDataMicroBatches.enabled — see
+    * [[Attribution.attributionTWS]] for why the eviction loop never
+    * drains otherwise. */
+  def funnelStreamTWS(events: DataFrame,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    events.select(col("user_id"), col("event_type"), col("ts")).as[Ev]
+    val timeMode =
+      if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id")).as[Ev]
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+      .transformWithState(new FunnelProcessor(ttl),
+        timeMode, OutputMode.Update(),
         implicitly[org.apache.spark.sql.Encoder[(Long, Int)]])
       .toDF("user_id", "stage")
   }

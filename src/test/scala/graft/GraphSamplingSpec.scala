@@ -45,6 +45,20 @@ class GraphSamplingSpec extends SparkSpec {
     assert(got === Map("a" -> (1L << 38), "b" -> (1L << 38), "c" -> (1L << 38)))
   }
 
+  test("powerIterate fails loudly when total weight leaves no rank headroom") {
+    import spark.implicits._
+    // bitlen(Σw) = 63 ≥ 62: bud0 ≤ 0, where the old kernel silently
+    // shifted every rank to 0 — now the budget aggregate raises in-plan
+    val edges = Seq(("a", "b", 1L << 62)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.powerIterate(edges, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("no rank headroom")),
+      s"expected the headroom raise_error, got: $ex")
+  }
+
   test("powerIterate renormalization shifts by zero on small weights (raw ≡ renorm)") {
     import spark.implicits._
     val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 3L))

@@ -194,6 +194,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("multi-probe batch IVF keeps the shuffled query axis (probes never broadcast)") {
+    // nprobe=2 doubles the query fan-out — the plan discipline must
+    // survive it: the cell join stays a ShuffledHashJoin (the probe side
+    // is |corpus|×P rows and can never broadcast); bounded training
+    // internals remain the only broadcasts
+    val p = plan("ann_ivf_trained_batch_mp")
+    val cellJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[cell")).toSeq
+    assert(cellJoins.nonEmpty, s"no cell-keyed join found:\n$p")
+    assert(cellJoins.forall(_.contains("ShuffledHashJoin")),
+      s"cell join must shuffle, not broadcast, the probe side:\n${cellJoins.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("interval outer join keeps the equi key (no nested loop)") {
     val p = plan("join_interval_outer")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

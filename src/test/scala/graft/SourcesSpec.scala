@@ -86,4 +86,18 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.json(dir)
     assert(back.count() === ev.count())
   }
+
+  test("Tables.events refuses a non-UTC session zone for NTZ normalization") {
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    // the guard only applies to the TIMESTAMP_NTZ shipping encoding; the
+    // nanos-as-long path is zone-free by construction
+    assume(raw.schema("ts").dataType == TimestampNTZType)
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "America/Chicago")
+    try {
+      val ex = intercept[IllegalArgumentException] { Tables.events(spark, sf0001) }
+      assert(ex.getMessage.contains("timeZone=UTC"))
+    } finally spark.conf.set(key, prev)
+  }
 }

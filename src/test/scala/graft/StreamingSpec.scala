@@ -401,6 +401,144 @@ class StreamingSpec extends SparkSpec {
       "a matched left row must never also emit null-extended")
   }
 
+  /** TTL state forces processing-time mode, where every no-data
+    * micro-batch advances processing time and schedules ANOTHER no-data
+    * batch for TTL eviction — under Trigger.AvailableNow that loop never
+    * drains (observed: 22k batches before this guard). Expired state is
+    * lazily skipped on read regardless, so correctness doesn't need the
+    * eviction batches — disable them for the TTL tests. */
+  private def withoutNoDataBatches[T](body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run a streaming frame to completion into a driver-side buffer via
+    * foreachBatch — unlike the memory sink, foreachBatch queries RECOVER
+    * from a checkpoint in append/update mode, which the two-process TTL
+    * scripts below need (run 1 and run 2 share one checkpoint with real
+    * wall-clock between them). */
+  private def runCollecting(df: DataFrame, mode: String, ck: String,
+      sink: scala.collection.mutable.Buffer[org.apache.spark.sql.Row]): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("transformWithState TTL: idle attribution state expires and re-creates cleanly") {
+    import spark.implicits._
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-ttl-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dest)
+    }
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val schema = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value").schema
+    // run the same two-batch script under a short and a long TTL: only
+    // the short one loses the batch-1 click while the test sleeps, which
+    // isolates the expiry (not the processing-time mode flip) as the
+    // cause of the "none" credit
+    def credits(ttl: java.time.Duration, tag: String): Seq[(String, Double)] = {
+      val in = Files.createTempDirectory(s"graft-ttl-$tag-in")
+      val ck = Files.createTempDirectory(s"graft-ttl-$tag-ck")
+      val got = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+      def run(): Unit = runCollecting(
+        graft.streaming.Attribution.attributionTWS(
+          spark.readStream.schema(schema).parquet(in.toString),
+          org.apache.spark.sql.streaming.TTLConfig(ttl)).toDF(),
+        "append", ck.toString, got)
+      writeOne(Seq((1L, 1L, ts(0), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f1.parquet"))
+      run() // batch 1: click only, no credits yet
+      Thread.sleep(2500) // outlives the short TTL, not the long one
+      writeOne(Seq((1L, 2L, ts(1), "purchase", 10.0), (1L, 3L, ts(2), "view", 1.0),
+        (1L, 4L, ts(3), "purchase", 20.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f2.parquet"))
+      run()
+      got.map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    }
+    withRocksDB { withoutNoDataBatches {
+      // short TTL: the batch-1 Touch is expired by batch 2 — the first
+      // purchase credits "none" (state DROPPED), then the view re-creates
+      // state and the second purchase credits it (state RE-CREATED)
+      assert(credits(java.time.Duration.ofSeconds(2), "s")
+        === Seq(("none", 10.0), ("view", 20.0)).sorted)
+      // long TTL: identical script, the click survives the sleep
+      assert(credits(java.time.Duration.ofHours(1), "l")
+        === Seq(("click", 10.0), ("view", 20.0)).sorted)
+    } }
+  }
+
+  test("transformWithState TTL: expired funnel progress restarts from stage 0") {
+    import spark.implicits._
+    def writeOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-fttl-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dest)
+    }
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val schema = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value").schema
+    def finalStage(ttl: java.time.Duration, tag: String): Int = {
+      val in = Files.createTempDirectory(s"graft-fttl-$tag-in")
+      val ck = Files.createTempDirectory(s"graft-fttl-$tag-ck")
+      val got = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+      def run(): Unit = runCollecting(
+        graft.streaming.Funnel.funnelStreamTWS(
+          spark.readStream.schema(schema).parquet(in.toString),
+          org.apache.spark.sql.streaming.TTLConfig(ttl)),
+        "update", ck.toString, got)
+      writeOne(Seq((1L, 1L, ts(0), "view", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f1.parquet"))
+      run()
+      got.clear() // only run 2's emissions decide the verdict
+      Thread.sleep(2500)
+      // a click 30 event-minutes after the view: advances to stage 2 iff
+      // the view's state survived the wall-clock sleep
+      writeOne(Seq((1L, 2L, ts(30), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), in.resolve("f2.parquet"))
+      run()
+      got.map(r => r.getInt(1)).max
+    }
+    withRocksDB { withoutNoDataBatches {
+      assert(finalStage(java.time.Duration.ofSeconds(2), "s") === 0,
+        "expired funnel state must restart from stage 0")
+      assert(finalStage(java.time.Duration.ofHours(1), "l") === 2,
+        "surviving funnel state must advance to stage 2")
+    } }
+  }
+
+  test("sessionizeTWS rejects TTL: event-time timers already bound state") {
+    val streamed = spark.readStream
+      .schema(Tables.events(spark, sf0001).select("user_id", "ts", "value").schema)
+      .parquet(Files.createTempDirectory("graft-sttl-in").toString)
+    val ex = intercept[IllegalArgumentException] {
+      Sessionize.sessionizeTWS(streamed,
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMinutes(5)))
+    }
+    assert(ex.getMessage.contains("event-time timers"))
+  }
+
   test("rate-source generator spout feeds a running bucket aggregation") {
     val q = Streams.rateBucketCounts(spark, rowsPerSecond = 2000, numPartitions = 4)
       .writeStream.outputMode("complete").format("memory")
