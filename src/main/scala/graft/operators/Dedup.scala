@@ -144,6 +144,39 @@ object Dedup {
           (size(col("sa")) + size(col("sb")) - col("shared")).cast("double")).as("jaccard"))
   }
 
+  /** Two-tier exact verify for the MANY-candidate regime (the prefix
+    * path ships ~125k candidates at t=0.5 where LSH ships ~250): tier 1
+    * screens every candidate on 60-bit-hashed shingle sets — long arrays
+    * shuffle ~25× less than the 50-char string sets and intersect on
+    * long equality — at threshold t−0.1; tier 2 re-scores the few
+    * survivors EXACTLY on full string sets, so the reported pairs and
+    * scores are identical to [[jaccardBySets]]. The 0.1 slack exists
+    * only for 60-bit collisions (a single collision moves a hashed
+    * Jaccard by at most ~2/|union|, and two colliding shingle pairs
+    * inside one candidate pair is a ~2⁻⁴⁰ event per pair) — in the
+    * collision-free case tier 1 computes the exact score already.
+    * Per-pair cost stays independent of shingle document frequency:
+    * this is the tiered screen-then-confirm shape production similarity
+    * joins use, NOT the Σ df² inverted re-join (sharedCountsFor), which
+    * would reintroduce the stop-shingle cliff the prefix filter exists
+    * to avoid. */
+  def jaccardBySetsTiered(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val hsets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(hash60(col("shingle"))).as("hset"))
+    val screened = cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+      .filter(col("shared").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("shared")).cast("double") >= t - 0.1)
+      .select("doc_a", "doc_b")
+    jaccardBySets(screened, sh)
+  }
+
   /** Near-dup candidate pairs from the inverted index with stop-shingles
     * (document frequency > maxDf) removed first: each df-f shingle
     * bucket emits O(f²) pairs in the self-join, so capping df bounds the
@@ -390,6 +423,17 @@ object Dedup {
     * dedup_minhash_est — unstaged, every reference re-ran the band
     * self-join + distinct. At cluster scale this is the "write the
     * candidate list before verification" step every LSH pipeline has. */
+  /** Prefix-filtered candidate pairs staged like the LSH candidates:
+    * [[jaccardBySets]] references its candidate set THREE times (the
+    * doc-pruning union twice + the pair join), and unstaged every
+    * reference re-ran the shkey self-join with both PPJoin prunes plus
+    * the pair distinct — measured 7.4 s/pass for a candidate table of a
+    * few hundred rows; staged, the verify runs in the same band as the
+    * LSH path. Cluster analogue: persist the candidate list before
+    * verification, same as the LSH pipeline. */
+  def stagedPrefixCandidates(s: SparkSession, dir: String, t: Double): DataFrame =
+    staged(s, s"$dir|prefixcand|$t")(
+      pairsSharing(stagedPrefixes(s, dir, t), t).distinct())
   def stagedLshCandidates(s: SparkSession, dir: String, b: Int, r: Int): DataFrame =
     staged(s, s"$dir|lshcand|${b}x$r") {
       val bands = lshBandsCfg(stagedMinhashSigs(s, dir), b, r)
@@ -566,11 +610,13 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")),
 
-    // Same reported pairs again via lossless prefix filtering: few
-    // candidates (set-intersection verify), no df cap needed.
+    // Same reported pairs again via lossless prefix filtering — no df
+    // cap needed; candidates are MANY at t=0.5 (the prefix holds half of
+    // each doc's shingles), so verification is the two-tier hashed
+    // screen + exact confirm rather than straight string-set intersects.
     "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
       val sh = stagedShingles(s, dir)
-      jaccardBySets(pairsSharing(stagedPrefixes(s, dir, 0.5), 0.5).distinct(), sh)
+      jaccardBySetsTiered(stagedPrefixCandidates(s, dir, 0.5), sh, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
