@@ -849,15 +849,27 @@ object Dedup {
     // separate positions — fragment-level reuse the token-set dedups
     // (whole-doc similarity) and substring_spans (corpus-frequency,
     // not pairing) don't report. Same df-cap discipline as the shingle
-    // index: fingerprints appearing in > 64 docs (boilerplate) are
-    // dropped before the self-join, bounding every bucket's pair
-    // fan-out at scale; the staged fingerprint artifact is shared with
-    // doc_winnow_fingerprints and built once per session.
+    // index — boilerplate fingerprints are dropped before the
+    // self-join, bounding every bucket's pair fan-out at scale — but
+    // the cap is CORPUS-PROPORTIONAL, not absolute:
+    // greatest(64, ceil(0.5% of docs)). The round-7 10x soak proved an
+    // absolute 64 collapses recall to ZERO rows once the corpus's
+    // duplication rate lifts every fingerprint's df past it (10-way
+    // exact copies x base df >= 7); a fraction-of-corpus cap is what
+    // MOSS-style winnowing actually means by "too common" and keeps
+    // df<=cap buckets a vanishing share of N as N grows. The cap is a
+    // 1-row aggregate broadcast in-plan (no driver fetch) and equals 64
+    // at every shipped SF, so oracles are unchanged; the soak config
+    // (50k docs -> cap 250) is where it engages.
     "dedup_winnow_pairs" -> ((s, dir) => {
       val fps = stagedWinnowFps(s, dir)
-      val rare = fps.join(
-        fps.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 64).select("fp"), "fp")
+      val cap = fps.agg(countDistinct("doc_id").as("n_docs"))
+        .select(greatest(lit(64L), ceil(col("n_docs") * 0.005)).as("cap"))
+      val rare = fps
+        .join(fps.groupBy("fp").agg(count(lit(1)).as("df")), "fp")
+        .crossJoin(broadcast(cap))
+        .filter(col("df") <= col("cap"))
+        .select("fp", "doc_id")
       rare.select(col("fp"), col("doc_id").as("doc_a"))
         .join(rare.select(col("fp"), col("doc_id").as("doc_b")), "fp")
         .filter(col("doc_a") < col("doc_b"))
@@ -1227,8 +1239,10 @@ object Dedup {
 
     "dedup_winnow_pairs" ->
       s"""WITH $winnowCte,
-         |dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
-         |        WHERE df <= 64),
+         |cap AS (SELECT greatest(64, CAST(ceil(count(DISTINCT doc_id) * 0.005) AS BIGINT)) AS cap
+         |        FROM fps),
+         |dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1), cap
+         |        WHERE df <= cap),
          |rare AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
          |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -1,0 +1,100 @@
+package graft.tools
+
+import java.util.concurrent.{Callable, ExecutionException, Executors, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale soak: run the ENTIRE registered query surface against a
+  * SoakGen-replicated directory (~10x the largest shipped scale factor)
+  * and record per-query status, wall clock, and output cardinality.
+  *
+  * Unlike Bench this is a survival run, not a latency measurement: each
+  * query gets a hard per-query timeout (default 600 s) enforced by
+  * `cancelJobGroup` so one quadratic blowup cannot hang the whole soak,
+  * and results stream to a JSONL log line-by-line so a crash (OOM, host
+  * reset) still leaves the per-query record up to that point. The log is
+  * the committed artifact: at 10x data a linear query shows ~10x the
+  * sf0.1 bench time, and anything wildly super-linear (or timed out) is
+  * a scale cliff the small-SF bench hid.
+  *
+  * Output rows are drained distributed through the same
+  * `queryExecution.toRdd.foreach` full-materialization path as Bench,
+  * with a LongAccumulator counting rows — cardinality is evidence (e.g.
+  * the N-way exact-duplicate clusters SoakGen plants must multiply dedup
+  * pair counts ~N^2/2-fold, and a pair generator whose count scales
+  * WORSE than that is broken, not just slow).
+  *
+  * Usage: runMain graft.tools.Soak [sfDir] [outJsonl]
+  * Env: SPARK_GRAFT_SOAK_TIMEOUT (sec/query), SPARK_GRAFT_CPUS.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "bench_local/soak_sf1"
+    val outPath = if (args.length > 1) args(1) else "bench_local/soak_r7.jsonl"
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outFile = new java.io.File(outPath)
+    Option(outFile.getParentFile).foreach(_.mkdirs())
+    val log = new java.io.PrintWriter(new java.io.FileWriter(outFile, false), true)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    // a stuck worker thread (cancel not honored) must not block the rest
+    // of the soak: abandon its executor and continue on a fresh one
+    var exec = Executors.newSingleThreadExecutor()
+    var okN, errN, toN = 0
+    for (name <- names) {
+      val acc = spark.sparkContext.longAccumulator(s"rows_$name")
+      val t0 = System.nanoTime()
+      val fut = exec.submit(new Callable[Unit] {
+        def call(): Unit = {
+          // job-group tagging is thread-local: set it on the thread that
+          // actually triggers the jobs so cancelGroup reaches them
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          // bind to a call-local: referencing the outer `acc` field would
+          // make the lambda capture this Callable (and its SparkSession),
+          // which is not serializable
+          val a = acc
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.toRdd.foreach { _ => a.add(1L) }
+        }
+      })
+      val (status, err) =
+        try { fut.get(timeoutSec, TimeUnit.SECONDS); ("ok", "") }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            try fut.get(30, TimeUnit.SECONDS) catch { case _: Throwable => () }
+            if (!fut.isDone) { exec.shutdownNow(); exec = Executors.newSingleThreadExecutor() }
+            ("timeout", s"exceeded ${timeoutSec}s")
+          case e: ExecutionException =>
+            val c = Option(e.getCause).getOrElse(e)
+            ("error", s"${c.getClass.getSimpleName}: ${Option(c.getMessage).getOrElse("")}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      status match {
+        case "ok" => okN += 1; case "timeout" => toN += 1; case _ => errN += 1
+      }
+      val secS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec))
+      log.println(s"""{"q":"$name","status":"$status","sec":$secS,"rows":${acc.value},"err":"${esc(err)}"}""")
+      println(s"SOAK $name: $status ${secS}s rows=${acc.value} $err")
+    }
+    log.println(s"""{"summary":true,"sf":"$sfDir","queries":${names.size},"ok":$okN,"error":$errN,"timeout":$toN}""")
+    log.close()
+    println(s"SOAK DONE ok=$okN error=$errN timeout=$toN -> $outPath")
+    spark.stop()
+    // abandoned stuck threads would otherwise keep the JVM alive
+    sys.exit(if (errN + toN == 0) 0 else 1)
+  }
+}
