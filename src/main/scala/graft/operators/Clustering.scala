@@ -22,7 +22,8 @@ import graft.functions.DotProductInt
   *
   * Scale shape: the ASSIGN step is shuffle-free — one row per vector
   * scored against a broadcast array of k centroids, with the argmin
-  * computed row-wise (k=16 structs, lexicographic array_min). Ranking
+  * computed row-wise (k structs, lexicographic array_min; k is
+  * corpus-adaptive — see [[kRow]]). Ranking
   * uses dot(c,c) - 2*dot(q,c), which orders identically to ||q-c||²
   * (the ||q||² term is constant per row) and keeps the hot path on the
   * codegen'd DotProductInt kernel. The UPDATE step is the only shuffle:
@@ -32,8 +33,25 @@ import graft.functions.DotProductInt
   */
 object Clustering {
 
-  private val K = 16
-  private val CentBase = 16 // vec_id 16..31 seed the centroids (IVF convention)
+  /** Floor on the corpus-adaptive cell count (k = 22 at the sf0.01
+    * oracle gate's 500 vectors, 44 at sf0.1 — the oracle's kk CTE
+    * replays whatever k the corpus implies). */
+  private val MinK = 16
+  private val CentBase = 16 // vec_id CentBase..CentBase+k-1 seed the centroids
+
+  /** Corpus-adaptive cell count as a broadcastable 1-row aggregate:
+    * k = greatest(16, floor(sqrt(N))). With FIXED k the in-cell
+    * quadratic Σ n_cell² ≈ N²/k is still quadratic in N — the round-7
+    * 10× soak measured the batch IVF search going 54× at 10× data —
+    * while k = √N bounds it at N^1.5 with avg cell population √N, the
+    * standard IVF sizing rule. Computed IN-PLAN (no driver fetch, no
+    * collect) and replayed by the oracle's kk CTE, so every consumer of
+    * the trained assignment stays hash-checked at any SF. floor(sqrt())
+    * is bit-identical across engines: IEEE-754 sqrt is correctly
+    * rounded in both. */
+  private def kRow(emb: DataFrame): DataFrame =
+    emb.agg(greatest(lit(MinK.toLong),
+      floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("k"))
 
   /** FLOAT[] embedding → exact integer micro-units ARRAY<INT>.
     * |x| < 2147 keeps micro-units inside INT (INT max is 2,147,483,647,
@@ -85,8 +103,8 @@ object Clustering {
   private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
-    val cents0 = emb
-      .filter(col("vec_id") >= CentBase && col("vec_id") < CentBase + K)
+    val cents0 = emb.crossJoin(broadcast(kRow(emb)))
+      .filter(col("vec_id") >= CentBase && col("vec_id") < lit(CentBase.toLong) + col("k"))
       .select((col("vec_id") - CentBase).cast("int").as("cid"), col("qarr").as("carr"))
     (emb, recompute(assign(emb, cents0)))
   }
@@ -125,7 +143,8 @@ object Clustering {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Two Lloyd rounds from deterministic seeds (vec_id 16..31):
+    // Two Lloyd rounds from deterministic seeds (vec_id 16..16+k-1,
+    // k = greatest(16, floor(sqrt(N))) — see kRow):
     // assign → recompute centroids → re-assign; report each final
     // cluster's size, id stats, and its centroid's coordinate checksum.
     "kmeans_lloyd" -> ((s, dir) => {
@@ -154,8 +173,10 @@ object Clustering {
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q
-       |       WHERE vec_id >= $CentBase AND vec_id < ${CentBase + K}),
+       |kk AS (SELECT greatest($MinK, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q, kk
+       |       WHERE vec_id >= $CentBase AND vec_id < $CentBase + kk.k),
        |d1 AS (
        |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
        |  FROM q x JOIN c0 c USING (dim) GROUP BY 1, 2),

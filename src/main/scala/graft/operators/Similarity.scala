@@ -538,9 +538,11 @@ object Similarity {
     * whose sign bands disagree).
     *
     * Scale shape: the quadratic blowup is confined to within-cell
-    * self-joins — cost Σ n_cell² ≈ N²/k for balanced cells, and k grows
-    * with the corpus in a real deployment so the per-cell population
-    * (and thus the largest join task) stays bounded. The trained
+    * self-joins — cost Σ n_cell² ≈ N²/k for balanced cells, and k GROWS
+    * with the corpus (k = greatest(16, ⌊√N⌋), Clustering.kRow — since
+    * round 7; the 10× soak showed fixed k leaves the in-cell work
+    * quadratic) so the per-cell population (and thus the largest join
+    * task) stays ~√N. The trained
     * assignment is the SAME staged artifact ann_ivf_trained_topk
     * searches (train once, reuse everywhere), the cell equi-join
     * shuffles each side once on cell, and the verify is one codegen'd

@@ -13,7 +13,10 @@ class ClusteringSpec extends SparkSpec {
     val rows = run().collect()
     assert(rows.nonEmpty)
     val cells = rows.map(_.getAs[Long]("cell"))
-    assert(cells.forall(c => c >= 0 && c < 16), "cell ids come from the 16 seeds")
+    val n = Tables.embeddings(spark, sf0001).count()
+    val k = math.max(16L, math.sqrt(n.toDouble).toLong)
+    assert(cells.forall(c => c >= 0 && c < k),
+      s"cell ids come from the k=$k corpus-adaptive seeds")
     assert(cells.distinct.length === cells.length, "one row per cell")
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total === Tables.embeddings(spark, sf0001).count(),
