@@ -337,15 +337,15 @@ object Dedup {
         .join(labels.select(col("doc").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("dst_label")).as("nbr_min"))
+      // carry old + new label in ONE cut frame: the change count reads
+      // the checkpointed result directly instead of a second join back
+      // against the previous labels (one exchange per round saved)
       val next = ckpt.cut(labels
         .join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
-      changed = next
-        .join(labels.select(col("doc"), col("label").as("old_label")), "doc")
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("doc"), col("label"))
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
