@@ -350,6 +350,73 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * rewriting (the MapReduce CC algorithm of Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — also what
+    * GraphFrames ships): converges in O(log² n) rounds on ANY graph,
+    * vs [[connectedComponents]]'s O(diameter) min-label rounds.
+    *
+    * Duplicate clusters are shallow, so the min-label loop is the right
+    * default for dedup; this is the 100 TB path for DEEP graphs — web
+    * link graphs, long reference chains — where diameter-many
+    * synchronized rounds (each a full shuffle) is the scale killer.
+    * CcStarSpec proves both invariants: identical labels to the
+    * min-label loop on the near-dup graph, and convergence in ≤ 8
+    * rounds on a 512-node path whose diameter would force the
+    * min-label loop through 511.
+    *
+    * Each round rewrites the edge set toward a star per component:
+    *  - large-star at u links every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star at u links its smaller neighbors (and u itself) to
+    *    their minimum.
+    * Both are one groupBy + one join over canonical (a < b) edges —
+    * per-round cost linear in |E|, no node-indexed state — and the
+    * fixpoint is the star graph rooted at each component's minimum id.
+    * Lineage is cut per round via the same [[CheckpointStrategy]]. */
+  def connectedComponentsStar(edges: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    connectedComponentsStarWithRounds(edges, ckpt)._1
+
+  private[graft] def connectedComponentsStarWithRounds(edges: DataFrame,
+      ckpt: CheckpointStrategy): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = ckpt.cut(canon(
+      edges.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    var eCount = e.count()
+    var rounds = 0
+    var done = eCount == 0
+    while (!done) {
+      // large-star: m(u) = min(neighbors(u) ∪ u); larger neighbors re-hang on m
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mn = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+      // small-star over canonical (a < b): each node b re-hangs its
+      // smaller neighbors (and itself) on their minimum
+      val byHi = large.groupBy("b").agg(min("a").as("m"))
+      val next = ckpt.cut(
+        large.join(byHi, "b").filter(col("a") =!= col("m"))
+          .select(col("m").as("a"), col("a").as("b"))
+          .union(byHi.select(col("m").as("a"), col("b")))
+          .distinct())
+      rounds += 1
+      val nextCount = next.count()
+      done = nextCount == eCount &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+      eCount = nextCount
+    }
+    val labels = e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    (labels, rounds)
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
@@ -580,6 +647,13 @@ object Dedup {
     // a dedup pipeline keeps. Oracle: DuckDB recursive CTE reachability.
     "dedup_clusters" -> ((s, dir) =>
       connectedComponents(neardupEdges(s, dir)).orderBy("doc_id")),
+
+    // Same clusters via the O(log²n)-round large-star/small-star
+    // rewriting (see connectedComponentsStar) — the deep-graph scale
+    // path, gate-checked against the identical recursive-CTE oracle so
+    // the two CC implementations can never drift.
+    "dedup_clusters_star" -> ((s, dir) =>
+      connectedComponentsStar(neardupEdges(s, dir)).orderBy("doc_id")),
 
     // The decision a dedup pipeline actually ships: one row per corpus
     // document with its cluster and a keep/drop verdict (keep = the
@@ -982,6 +1056,7 @@ object Dedup {
   def oracles: Map[String, String] =
     baseOracles +
       ("dedup_ngram_jaccard_capped" -> baseOracles("dedup_ngram_jaccard")) +
+      ("dedup_clusters_star" -> baseOracles("dedup_clusters")) +
       ("dedup_ngram_jaccard_prefix" -> uncappedJaccardOracle) +
       ("dedup_lsh_tuning" ->
         s"""WITH $shingleCte,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CheckpointStrategy, Dedup}
+
+/** Invariants of the large-star/small-star connected components
+  * ([[Dedup.connectedComponentsStar]]) vs the min-label loop:
+  * identical labels on every graph, and round count O(log n) where the
+  * min-label loop needs O(diameter).
+  */
+class CcStarSpec extends SparkSpec {
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star CC equals min-label CC on chains, pairs, and cliques") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (5L, 6L), // pair
+      (7L, 8L), (8L, 9L), (7L, 9L), // triangle
+      (20L, 10L), (20L, 30L), (30L, 40L) // out-of-order ids, star+tail
+    ).toDF("doc_a", "doc_b")
+    val expected = labelsOf(Dedup.connectedComponents(edges))
+    val got = labelsOf(Dedup.connectedComponentsStar(edges))
+    assert(got === expected)
+    assert(got(40L) === 10L, "component labeled with its minimum id")
+  }
+
+  test("star CC equals min-label CC on the sf0.001 near-dup graph") {
+    val a = labelsOf(SparkEntry.queries("dedup_clusters")(spark, sf0001))
+    val b = labelsOf(SparkEntry.queries("dedup_clusters_star")(spark, sf0001))
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("star CC converges in O(log n) rounds on a 512-node path") {
+    import spark.implicits._
+    // a path graph is the worst case for min-label propagation: the
+    // label crosses one hop per round, so diameter-many (511) rounds.
+    // The star rewrite must close it in logarithmically few.
+    val path = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsStarWithRounds(path, CheckpointStrategy.Local)
+    assert(rounds <= 12, s"path-512 should close in O(log n) rounds, took $rounds")
+    val out = labelsOf(labels)
+    assert(out.size === 512)
+    assert(out.values.forall(_ === 0L), "single component rooted at 0")
+  }
+
+  test("star CC handles an empty edge set") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsStar(none).isEmpty)
+  }
+}
