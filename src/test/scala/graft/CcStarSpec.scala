@@ -49,6 +49,30 @@ class CcStarSpec extends SparkSpec {
     assert(out.values.forall(_ === 0L), "single component rooted at 0")
   }
 
+  test("star CC equals min-label CC on randomized graphs") {
+    import spark.implicits._
+    // deterministic LCG so the spec replays: ~40 nodes, varying density
+    // — covers forests, multi-component blobs, and near-cliques
+    var seed = 0x5DEECE66DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 0 until 6) {
+      val n = 10 + next(30)
+      val m = 1 + next(3 * n)
+      val edges = (0 until m)
+        .map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("doc_a", "doc_b")
+        val a = labelsOf(Dedup.connectedComponents(df))
+        val b = labelsOf(Dedup.connectedComponentsStar(df))
+        assert(b === a, s"trial $trial (n=$n, m=$m) diverged")
+      }
+    }
+  }
+
   test("star CC handles an empty edge set") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
