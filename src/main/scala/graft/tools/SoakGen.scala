@@ -37,7 +37,14 @@ object SoakGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copies)
+    spark.stop()
+  }
 
+  /** Replicate `src` into `dst` `copies`-fold (see object doc). Split
+    * from main so SoakGenSpec can assert the re-key invariants on a
+    * shared test session. */
+  def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     /** Next power of 10 strictly past the column's max — keeps offset ids
@@ -91,6 +98,5 @@ object SoakGen {
       load(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"$name: passthrough")
     }
-    spark.stop()
   }
 }

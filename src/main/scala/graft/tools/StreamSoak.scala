@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedStore
+import graft.streaming.IngestDedup
+
+/** Streaming-scale soak: drive the ingest-dedup topology over the
+  * SoakGen-replicated corpus — the streaming leg the batch [[Soak]]
+  * doesn't cover.
+  *
+  * Shape: copy 0 (original doc ids) is the standing corpus; each of the
+  * other copies arrives as ONE parquet file = ONE micro-batch
+  * (`maxFilesPerTrigger=1`, the reference's CRANE_BATCH_SIZE knob), so
+  * an N× soak directory yields N−1 triggers of corpus-sized batches in
+  * which EVERY document is an exact duplicate of a corpus doc — the
+  * worst realistic ingest (a full re-crawl). Each batch's near-dup
+  * pairs land as one [[VersionedStore]] version keyed by batch id.
+  *
+  * Checks logged per batch to the JSONL artifact:
+  *  - one store version per micro-batch, pair counts per version;
+  *  - every batch finds ≥ batch-size pairs (each exact copy must match
+  *    its original at jaccard 1.0);
+  *  - a RESTART on the same checkpoint with no new files writes no new
+  *    versions and rewrites nothing — replay idempotence at scale.
+  *
+  * Usage: runMain graft.tools.StreamSoak [soakDir] [outJsonl] [idBase]
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val soakDir = if (args.length > 0) args(0) else "bench_local/soak_sf1"
+    val outPath = if (args.length > 1) args(1) else "bench_local/stream_soak_r7.jsonl"
+    val idBase = if (args.length > 2) args(2).toLong else 10000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("stream_soak").toString
+    val inDir = s"$work/in"; val outBase = s"$work/store"; val ckpt = s"$work/ckpt"
+    val log = new java.io.PrintWriter(new java.io.FileWriter(outPath, false), true)
+
+    val docs = spark.read.parquet(s"$soakDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < idBase).cache()
+    val corpusN = corpus.count()
+    val copies = (docs.agg(max("doc_id")).collect()(0).getLong(0) / idBase).toInt
+    log.println(s"""{"corpus":$corpusN,"ingest_copies":$copies}""")
+    for (i <- 1 to copies)
+      docs.filter(col("doc_id") >= i * idBase && col("doc_id") < (i + 1) * idBase)
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    val t0 = System.nanoTime()
+    val q = IngestDedup.start(spark, corpus, inDir, outBase, ckpt)
+    q.awaitTermination()
+    val firstSec = (System.nanoTime() - t0) / 1e9
+    val versions = VersionedStore.listVersions(outBase).sorted
+    var ok = versions.size == copies
+    var minPairs = Long.MaxValue
+    for (v <- versions) {
+      val n = VersionedStore.readVersion(spark, outBase, v).count()
+      minPairs = math.min(minPairs, n)
+      log.println(s"""{"version":$v,"pairs":$n}""")
+    }
+    // every ingested doc is an exact copy of a corpus doc: each batch
+    // must report at least one pair per batch document
+    ok &= minPairs >= corpusN
+
+    // restart on the same checkpoint: AvailableNow with nothing new must
+    // terminate without writing any version
+    val q2 = IngestDedup.start(spark, corpus, inDir, outBase, ckpt)
+    q2.awaitTermination()
+    val versions2 = VersionedStore.listVersions(outBase).sorted
+    ok &= versions2 == versions
+    val secS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(firstSec))
+    log.println(s"""{"summary":true,"ok":$ok,"versions":${versions.size},"min_pairs":$minPairs,"first_run_sec":$secS,"replay_new_versions":${versions2.size - versions.size}}""")
+    log.close()
+    println(s"STREAM SOAK ok=$ok versions=${versions.size} minPairs=$minPairs sec=$secS")
+    spark.stop()
+    sys.exit(if (ok) 0 else 1)
+  }
+}
