@@ -824,21 +824,35 @@ object Dedup {
     // agrees on at least one whole block, so an equi-join on
     // (block index, block value) finds all such pairs without an
     // all-pairs scan. Exact integer arithmetic end-to-end (bit_count of
-    // xor) — byte-identical across engines. The fingerprint table is
-    // staged once (stagedSimhash) since three plan branches reference it.
+    // xor) — byte-identical across engines.
+    //
+    // CANONICAL-BAND emission: the full fingerprint rides along on both
+    // join sides, and a pair is kept only at its SMALLEST agreeing band
+    // — each (a,b) surfaces exactly once, which deletes the distinct
+    // over the raw candidate stream AND both fingerprint join-backs
+    // (at the 10× soak that distinct shuffled ~39 M candidate rows to
+    // confirm 8.5 M pairs; the verify is now a row-local filter on the
+    // band join's output, nothing shuffles but the bands themselves).
+    // Same trick LSH pipelines use to de-duplicate band matches without
+    // a pair-level shuffle.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val fp = stagedSimhash(s, dir)
-      val bands = fp.select(col("doc_id"),
+      val bands = fp.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(b => struct(lit(b).as("b"),
             shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.b").as("b"), col("e.sig").as("sig"))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("sig"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("sig")), Seq("b", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sha")), "doc_a")
-        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("shb")), "doc_b")
+        .select(col("doc_id"), col("simhash"), col("e.b").as("b"), col("e.sig").as("sig"))
+      def byte(c: Column, b: Int): Column =
+        shiftright(c, 8 * b).bitwiseAND(255)
+      val firstAgreeingBand = (0 until 4).map { bb =>
+        (col("b") === bb) && (0 until bb)
+          .map(p => byte(col("sha"), p) =!= byte(col("shb"), p))
+          .foldLeft(lit(true))(_ && _)
+      }.reduce(_ || _)
+      bands.select(col("doc_id").as("doc_a"), col("simhash").as("sha"),
+          col("b"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("shb"),
+          col("b"), col("sig")), Seq("b", "sig"))
+        .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
         .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("bigint"))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
