@@ -41,12 +41,17 @@ object Staged {
 
   /** Build-once, read-many: materialize `build` to a temp parquet dir on
     * first use of (session, key) and return a reader over it. */
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val stage = dirs.getOrElseUpdate(sessionId(s) + "|" + key, {
+  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    s.read.parquet(materialize(s, key)(d => build.write.mode("overwrite").parquet(d)))
+
+  /** Generalized build-once: hand `build` a fresh temp dir on first use of
+    * (session, key) and return that dir ever after — for stagings that are
+    * not a plain parquet dump (partitioned layouts, bucketed tables). The
+    * dir joins the same shutdown-purge list as [[apply]]'s stages. */
+  def materialize(s: SparkSession, key: String)(build: String => Unit): String =
+    dirs.getOrElseUpdate(sessionId(s) + "|" + key, {
       val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
-      build.write.mode("overwrite").parquet(d)
+      build(d)
       d
     })
-    s.read.parquet(stage)
-  }
 }

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staged, Tables}
+import graft.functions.Decimals
 
 /** Z-order (Morton-curve) data layout — the multi-dimensional clustering
   * pass a 100 TB lakehouse runs so range predicates on EITHER of two
@@ -42,7 +43,98 @@ object Layout {
   private def norm16(v: Column, mn: Column, mx: Column): Column =
     ((v - mn) * lit(65535L) / greatest(mx - mn, lit(1L))).cast("long")
 
+  /** Number of buckets for the co-located join demo. Fixed and small so
+    * the sf0.001 plan audit is cheap; at 100 TB the same code runs with
+    * buckets sized so one bucket of the FACT table fits an executor
+    * (e.g. 4096) — the bucket count is the only knob that changes. */
+  private val NumBuckets = 8
+
+  /** Bucketed copies of orders and lineitem, written once per
+    * (session, sf dir): both sides bucketed AND sorted by the join key
+    * into the same bucket count, one file per bucket (the
+    * `repartition(n, key)` aligns write tasks with buckets — Spark's
+    * bucket id is the same murmur3-mod-n as HashPartitioning — so each
+    * task writes exactly its own bucket's file, which is also what lets
+    * the scan report the within-bucket sort order). This is THE
+    * shuffle-elimination layout for a fact-to-fact join a 100 TB
+    * warehouse maintains: the one-time bucketed write pays the shuffle
+    * once, and every subsequent orders⋈lineitem join — the workload's
+    * hottest edge — runs with ZERO exchanges (PlanAuditSpec pins that).
+    * Tables are registered in the session catalog with an explicit
+    * temp-dir path (external), so nothing lands in the warehouse dir
+    * and the data dies with the JVM like every other staged artifact. */
+  private def bucketedOrdersLineitem(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Staged.materialize(s, s"$dir|bucketed") { d =>
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .repartition(NumBuckets, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$d/orders")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_bk_orders_$tag")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(NumBuckets, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$d/lineitem")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_bk_lineitem_$tag")
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    (s.table(s"graft_bk_orders_$tag"), s.table(s"graft_bk_lineitem_$tag"))
+  }
+
+  /** Events rewritten partitioned by event_type, once per (session, sf
+    * dir) — the coarse-grained file-skipping layout (hive-style
+    * partition dirs) that complements z-order's fine-grained min/max
+    * skipping: a predicate on the partition column prunes whole
+    * directories at PLANNING time, before a single file is opened.
+    * PlanAuditSpec pins that the pruned scan touches exactly one of the
+    * five type partitions. */
+  private def typePartitionedEvents(s: SparkSession, dir: String): String = {
+    val base = Staged.materialize(s, s"$dir|evbytype") { d =>
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$d/events")
+    }
+    s"$base/events"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Zero-shuffle fact-to-fact join off the bucketed layout: per-order
+    // revenue (join + same-key aggregate) with NO Exchange anywhere in
+    // the plan — scan-local join, scan-local aggregation, top-k via
+    // TakeOrderedAndProject. The layout pays the shuffle once at write
+    // time; this query (and every join on the same key after it) rides
+    // it for free. Oracle replays the identical join/agg over the raw
+    // tables — the layout must not change a single row.
+    "layout_bucketed_join" -> ((s, dir) => {
+      val (o, l) = bucketedOrdersLineitem(s, dir)
+      // merge hint, not broadcast: both sides are FACT tables that scale
+      // with sf, so at target scale neither can ship to every executor —
+      // the sort-merge path is what rides the bucketed layout exchange-
+      // free. (At test sf Catalyst would otherwise broadcast the small
+      // orders side and hide exactly the plan this query exists to pin.)
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(Decimals.rsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Partition-pruned scan off the type-partitioned layout: the
+    // `event_type = 'purchase'` predicate prunes 4 of 5 directories
+    // during planning (PartitionFilters, not PushedFilters — no row
+    // group is even opened in the pruned dirs). Daily purchase totals;
+    // oracle replays the same filter/agg over the raw events table.
+    "layout_partition_prune" -> ((s, dir) => {
+      s.read.parquet(typePartitionedEvents(s, dir))
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), Decimals.rsum2(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
 
     // Per-z-bucket extents over events (user_id × value cents): 32
     // static buckets from the top 5 bits of the 32-bit Morton code.
@@ -74,6 +166,19 @@ object Layout {
   }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "layout_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "layout_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "layout_zorder" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id,

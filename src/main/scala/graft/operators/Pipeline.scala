@@ -164,7 +164,32 @@ object Pipeline {
           sum(when(TextAnalysis.qualityScore(col("text")) > 0.5, 1L).otherwise(0L)).as("n_keep"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // SCHEMA EVOLUTION at ingest: a long-lived corpus accumulates
+    // batches written under different schema generations (here: a v1
+    // generation from before lang/n_chars were tracked — simulated as
+    // the even doc_ids projected down to the v1 columns — and the
+    // current v2 generation). `unionByName(allowMissingColumns=true)`
+    // is the Spark-native merge: columns align BY NAME (never by
+    // position — the classic silent-corruption trap when generations
+    // reorder columns), and absent v1 columns surface as typed nulls
+    // downstream quality gates can reason about. Narrow per-batch
+    // projections + one union: no shuffle except the output sort at any
+    // corpus size.
+    "pipeline_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .withColumn("schema_gen", lit("v1"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("schema_gen", lit("v2"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("doc_id"), col("schema_gen"), col("source"), col("lang"),
+          col("n_chars"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    })
   )
 
   private val bucketSql =
@@ -231,6 +256,15 @@ object Pipeline {
         |                            WHERE c.c_custkey = o.o_custkey))
         |) ORDER BY check_name""".stripMargin,
 
+    "pipeline_schema_evolution" ->
+      """SELECT doc_id, 'v1' AS schema_gen, source,
+        |       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'v2', source, lang, n_chars, CAST(length(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_dataset_card" -> cardSql,
 
     // the merge over per-shard partials must publish the very same card

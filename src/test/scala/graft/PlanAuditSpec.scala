@@ -261,4 +261,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(pd.contains("partial"), s"missing map-side partial agg:\n$pd")
     assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoop"), pd)
   }
+
+  test("bucketed layout: fact-to-fact join + same-key agg with ZERO exchanges") {
+    // the co-located join proof: both sides bucketed+sorted on the join
+    // key means the join, the per-order aggregate, and the top-k all run
+    // scan-local — not one Exchange of any kind in the whole plan. (AQE
+    // off for the audit so the concrete plan nodes are walkable; the
+    // registered query runs under whatever the session has.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("layout_bucketed_join")(spark, sf0001)
+      val p = df.queryExecution.executedPlan
+      val exchanges = p.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty, s"bucketed join must not shuffle:\n$p")
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        s"both sides must be bucketed scans:\n$p")
+      assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("partitioned layout: planning-time pruning scans 1 of 5 type dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("layout_partition_prune")(spark, sf0001)
+      val p = df.queryExecution.executedPlan
+      val scan = p.collect { case f: FileSourceScanExec => f }.head
+      assert(scan.metadata("PartitionFilters").contains("event_type"),
+        s"partition filter missing from scan:\n$p")
+      // pruning happens before execution: the scan's selected partition
+      // listing must already be down to the single purchase dir
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
