@@ -120,6 +120,37 @@ object Sampling {
         .orderBy("lang")
     }),
 
+    // WEIGHTED sampling without replacement (priority sampling,
+    // Duffield–Lund–Thorup): each doc draws a deterministic uniform
+    // u ∈ [1, 2³²] from its md5 hash and gets priority w/u — taking the
+    // top-k priorities per source selects docs with probability ≈
+    // proportional to weight (here n_chars: longer docs carry more
+    // training tokens, so a token-budgeted mix samples them more often).
+    // Rendition is INTEGER-EXACT so both engines agree bit-for-bit:
+    // priority = (w·2³²) div u — floor division of two positive BIGINTs,
+    // monotone in w/u (never a float pow/log, whose libm rounding can
+    // flip cross-engine orderings near ties). Scale shape: the rank
+    // window partitions on source and Spark's rank-limit pushdown
+    // (WindowGroupLimit) keeps a running top-k per map task BEFORE the
+    // shuffle, so the exchange carries O(k·partitions) rows, not the
+    // corpus — the same partial/final discipline as an aggregation.
+    "sample_weighted_priority" -> ((s, dir) => {
+      val K = 10
+      val u = pmod(PortableHash.hash60(col("doc_id").cast("string")),
+        lit(4294967296L)) + lit(1L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("priority"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+          u.as("u"))
+        .withColumn("priority", expr("weight * 4294967296L div u"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("source"), col("rk"), col("doc_id"), col("weight"),
+          col("priority"))
+        .orderBy("source", "rk")
+    }),
+
     // Cluster-balanced diversity sampling (the SemDeDup-family
     // subsampling pass): cap every trained k-means cell at a fixed
     // quota so dense regions of embedding space are downsampled and
@@ -205,6 +236,22 @@ object Sampling {
         |SELECT lang, n_docs, epochs, count(*) AS n_epoch_rows,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique
         |FROM reps GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
+
+    "sample_weighted_priority" -> {
+      val h = PortableHash.sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH pr AS (
+         |  SELECT source, doc_id, n_chars AS weight,
+         |         (n_chars * 4294967296) // (($h % 4294967296) + 1) AS priority
+         |  FROM documents),
+         |rk AS (
+         |  SELECT source, doc_id, weight, priority,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY priority DESC, doc_id) AS INT) AS rk
+         |  FROM pr)
+         |SELECT source, rk, doc_id, weight, priority
+         |FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+    },
 
     // Replays the SAME two-round Lloyd training CTE as kmeans_lloyd /
     // ann_ivf_trained_topk / dedup_semantic, then the md5 rank.

@@ -278,6 +278,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sample_weighted_priority: JVM replay agrees; selection is weight-monotone") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    def prio(id: Long, w: Long): Long = {
+      val u = h60(id.toString) % 4294967296L + 1L
+      w * 4294967296L / u
+    }
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _, w) => (-prio(id, w), id) }.take(10).zipWithIndex
+        .map { case ((id, _, w), i) => (src, i + 1, id, w, prio(id, w)) }
+    }.toSet
+    val got = run("sample_weighted_priority").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("priority"))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the defining priority-sampling property: raising a doc's weight
+    // can only raise its priority (selection is monotone in weight), and
+    // the integer rendition stays within 1 ulp-free floor step of w/u
+    for ((id, _, w) <- docs.take(50)) {
+      assert(prio(id, 2 * w) >= prio(id, w))
+      val u = h60(id.toString) % 4294967296L + 1L
+      val exact = w.toDouble * 4294967296L / u
+      assert(math.abs(prio(id, w) - exact) <= 1.0 + 1e-9 * exact)
+    }
+  }
+
   test("sample_cluster_diverse: per-cell quota, independent JVM-md5 replay agrees") {
     val rows = run("sample_cluster_diverse").collect()
     assert(rows.nonEmpty)

@@ -246,6 +246,19 @@ class PlanAuditSpec extends SparkSpec {
       s"window + groupBy on the same key must share one exchange:\n$p")
   }
 
+  test("weighted priority sampling pushes the rank limit below the shuffle") {
+    // per-source top-k must keep a PARTIAL WindowGroupLimit on the map
+    // side — the exchange then carries O(k·tasks) rows, not the corpus.
+    // Without the pushdown every doc row shuffles to its source's
+    // window partition, the single-hot-source skew trap at 100 TB.
+    val p = plan("sample_weighted_priority")
+    assert(p.contains("WindowGroupLimit"), p)
+    val partialAt = p.indexOf("Partial")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"partial group-limit should sit below (before) the source exchange:\n$p")
+  }
+
   test("chunker is a narrow fan-out; chunk dedup shuffles only the md5 key") {
     // the per-row sequence+posexplode fan-out must plan as Generate with
     // NO hash exchange — the only Exchange allowed is the output sort's
