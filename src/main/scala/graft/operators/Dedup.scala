@@ -421,8 +421,27 @@ object Dedup {
 
   /** 32-bit simhash: for hex digit k (1..8) of md5(token) and bit b
     * (0..3), the bit of the fingerprint is set iff
-    * sum over tokens of (digit_k(token) >> b & 1 ? +1 : -1) > 0. */
-  def simhash32(docs: DataFrame): DataFrame = {
+    * sum over tokens of (digit_k(token) >> b & 1 ? +1 : -1) > 0.
+    *
+    * Computed ROW-LOCAL by the codegen [[graft.functions.SimHash32]]
+    * kernel: the previous explode → md5 → 32-conditional-sum →
+    * groupBy(doc_id) pipeline shuffled one row PER TOKEN (~100× the doc
+    * count at corpus scale) to rebuild per-doc state that was never
+    * cross-row in the first place. The kernel keeps simhash a narrow
+    * projection at scan parallelism; the isNotNull filter mirrors the
+    * aggregate formulation's explode semantics (a doc with an empty
+    * token array emitted no rows, so it had no fingerprint). The oracle
+    * still replays the aggregate formulation in SQL, and
+    * [[simhash32Agg]] keeps it runnable for the spec equivalence gate. */
+  def simhash32(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHash32(TextAnalysis.tokens(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The declarative twin of [[simhash32]] (explode + 32 conditional
+    * sums) — spec-only: LlmOpsSpec gates the codegen kernel against it
+    * so the two renditions cannot drift. */
+  private[graft] def simhash32Agg(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
       .withColumn("h", md5(col("w")))

@@ -470,6 +470,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.forall { case (k, v) => exact(k) === v })
   }
 
+  test("simhash codegen kernel is bit-identical to the aggregate formulation") {
+    import spark.implicits._
+    // the real corpus plus adversarial shapes: empty text (one empty
+    // token), repeated tokens, multi-space runs (empty tokens between),
+    // unicode, a single char
+    val adversarial = Seq(
+      (9001L, ""), (9002L, "a a a a"), (9003L, "x  y   z"),
+      (9004L, "héllo wörld héllo"), (9005L, "q")
+    ).toDF("doc_id", "text")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").unionByName(adversarial)
+    val kernel = graft.operators.Dedup.simhash32(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val agg = graft.operators.Dedup.simhash32Agg(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(kernel === agg)
+    // split(" ", -1) never yields an empty array, so every doc (corpus +
+    // adversarial) carries a fingerprint in both renditions
+    assert(kernel.size.toLong === docs.count())
+    // and the kernel runs inside codegen, not as a fallback projection
+    val plan = graft.operators.Dedup.simhash32(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash32"), plan)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val sims = run("dedup_simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
