@@ -33,7 +33,26 @@ object Dedup {
     * (O(tokens²) work per doc) and falls off codegen. One shuffle on
     * doc_id; scales linearly in corpus size.
     */
-  def shingles(docs: DataFrame): DataFrame = {
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")))
+        .as("shingle"))
+
+  /** The window rendition of [[shingles]] (posexplode → lead ×2 →
+    * distinct) — spec-only equivalence gate. The shipped version above
+    * is ROW-LOCAL: a doc's distinct 3-gram set is a pure function of its
+    * own token array, so building it through a per-token window sort
+    * plus a corpus-wide distinct paid two full shuffles of the token
+    * stream for state that never crossed rows. transform +
+    * array_distinct keeps the index build a narrow projection at scan
+    * parallelism; the size-≥3 filter mirrors the lead-null drop, and
+    * the per-doc array_distinct equals the global distinct because
+    * doc_id is part of the pair. */
+  private[graft] def shinglesViaWindow(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     docs

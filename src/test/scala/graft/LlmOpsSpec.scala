@@ -470,6 +470,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.forall { case (k, v) => exact(k) === v })
   }
 
+  test("row-local shingles equal the window formulation on corpus + edge docs") {
+    import spark.implicits._
+    val adversarial = Seq(
+      (9001L, ""), (9002L, "a b"), (9003L, "a b c"), (9004L, "a b c d"),
+      (9005L, "x x x x x"), (9006L, "p  q r"), (9007L, "a b c a b c a b c")
+    ).toDF("doc_id", "text")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").unionByName(adversarial)
+    val narrow = graft.operators.Dedup.shingles(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val window = graft.operators.Dedup.shinglesViaWindow(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(narrow === window)
+    assert(narrow.exists(_._1 == 9003L)) // exactly-3-token doc keeps its shingle
+    assert(!narrow.exists(_._1 == 9002L)) // sub-3-token doc emits nothing
+    assert(narrow.count(_._1 == 9005L) == 1) // repeats dedup within doc
+    // and the index build plans with NO exchange of any kind
+    val p = graft.operators.Dedup.shingles(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"shingles must be a narrow projection:\n$p")
+  }
+
   test("simhash codegen kernel is bit-identical to the aggregate formulation") {
     import spark.implicits._
     // the real corpus plus adversarial shapes: empty text (one empty
