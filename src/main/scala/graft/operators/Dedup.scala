@@ -552,22 +552,37 @@ object Dedup {
     * window minima (the doc_winnow_fingerprints derivation). Staged:
     * the per-doc profile reads it once, the cross-doc pair join twice. */
   def stagedWinnowFps(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|winnowfps") {
-      val K = 8; val W = 16
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
-      Tables.documents(s, dir)
-        .filter(length(col("text")) >= K + W - 1)
-        .select(col("doc_id"), col("text"),
-          (length(col("text")) - (K - 1)).as("ngrams"),
-          explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
-        .select(col("doc_id"), col("pos"), col("ngrams"),
-          hash60(expr(s"substring(text, pos, $K)")).as("h"))
-        .withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") <= col("ngrams") - (W - 1))
-        .select(col("doc_id"), col("fp")).distinct()
-    }
+    staged(s, s"$dir|winnowfps")(winnowFpsRowLocal(Tables.documents(s, dir)))
+
+  /** ROW-LOCAL winnowing (codegen kernel): the window rendition below
+    * shuffled up to 8,192 rows per doc through a (doc_id, pos) window
+    * sort for a per-doc pure function. One narrow projection now. */
+  private[graft] def winnowFpsRowLocal(docs: DataFrame): DataFrame = {
+    val K = 8; val W = 16
+    docs
+      .filter(length(col("text")) >= K + W - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), K, W)).as("fp"))
+  }
+
+  /** The exploded/window rendition of the winnow fingerprint derivation
+    * — spec-only: LlmOpsSpec gates the codegen kernel against it. */
+  private[graft] def winnowFpsViaWindow(docs: DataFrame): DataFrame = {
+    val K = 8; val W = 16
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
+    docs
+      .filter(length(col("text")) >= K + W - 1)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (K - 1)).as("ngrams"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"), col("ngrams"),
+        hash60(expr(s"substring(text, pos, $K)")).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("ngrams") - (W - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 
   def stagedGrams(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|grams|$SubstrLen") {

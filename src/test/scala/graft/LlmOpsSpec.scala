@@ -491,6 +491,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"shingles must be a narrow projection:\n$p")
   }
 
+  test("winnow codegen kernel equals the window formulation on corpus + edge docs") {
+    import spark.implicits._
+    // K=8, W=16: minimum qualifying length is 23 chars. Edges: exactly
+    // 23 (one window), 22 (none), all-same-char (every gram hashes
+    // equal — distinct collapses to one fp), repeated blocks
+    val adversarial = Seq(
+      (9001L, "abcdefghijklmnopqrstuvw"), // 23 chars: exactly one window
+      (9002L, "abcdefghijklmnopqrstuv"), // 22: below threshold
+      (9003L, "a" * 64), (9004L, ("xyz" * 30)),
+      (9005L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").unionByName(adversarial)
+    val kernel = graft.operators.Dedup.winnowFpsRowLocal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val window = graft.operators.Dedup.winnowFpsViaWindow(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === window)
+    assert(kernel.exists(_._1 == 9001L))
+    assert(!kernel.exists(_._1 == 9002L))
+    assert(kernel.count(_._1 == 9003L) == 1) // uniform text -> single fp
+  }
+
   test("simhash codegen kernel is bit-identical to the aggregate formulation") {
     import spark.implicits._
     // the real corpus plus adversarial shapes: empty text (one empty
