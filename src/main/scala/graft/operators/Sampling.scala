@@ -151,6 +151,44 @@ object Sampling {
         .orderBy("source", "rk")
     }),
 
+    // The ESTIMATOR half of priority sampling — why the scheme exists:
+    // with τ = the (k+1)-th priority, Σ_{i∈sample} max(w_i, τ) is an
+    // unbiased (Horvitz–Thompson) estimate of the source's TOTAL weight,
+    // so a 10-doc sample prices a source's token mass without scanning
+    // it. (The integer priority (w·2³²) div u_scaled already equals w/u
+    // for u = u_scaled/2³² ∈ (0,1] — τ is in WEIGHT units, no rescale;
+    // its ≤1-unit floor slack is deterministic and engine-identical.)
+    // Estimate and exact total ship side by side (the same
+    // calibration pattern as dedup_minhash_est / kmv_source_overlap);
+    // τ comes from a second aggregate over the SAME source window
+    // partition — no extra exchange — and the estimate sums through
+    // DECIMAL so addition order cannot move the result cross-engine.
+    // A source with ≤ k docs has τ = 0 and the estimate is exact.
+    "sample_weighted_estimate" -> ((s, dir) => {
+      val K = 10
+      val u = pmod(PortableHash.hash60(col("doc_id").cast("string")),
+        lit(4294967296L)) + lit(1L)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("priority"), col("doc_id"))
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+          u.as("u"))
+        .withColumn("priority", expr("weight * 4294967296L div u"))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("tau",
+          coalesce(max(when(col("rk") === K + 1, col("priority"))).over(wSrc),
+            lit(0L)))
+        .withColumn("n_docs", count(lit(1)).over(wSrc))
+        .withColumn("total_weight", sum(col("weight")).over(wSrc))
+        .filter(col("rk") <= K)
+        .groupBy("source", "n_docs", "total_weight", "tau")
+        .agg(round(sum(round(greatest(col("weight").cast("double"),
+          col("tau").cast("double")), 6).cast("decimal(18,6)")), 2)
+          .cast("double").as("ht_estimate"))
+        .orderBy("source")
+    }),
+
     // Cluster-balanced diversity sampling (the SemDeDup-family
     // subsampling pass): cap every trained k-means cell at a fixed
     // quota so dense regions of embedding space are downsampled and
@@ -251,6 +289,35 @@ object Sampling {
          |  FROM pr)
          |SELECT source, rk, doc_id, weight, priority
          |FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+    },
+
+    "sample_weighted_estimate" -> {
+      val h = PortableHash.sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH pr AS (
+         |  SELECT source, doc_id, n_chars AS weight,
+         |         (n_chars * 4294967296) // (($h % 4294967296) + 1) AS priority
+         |  FROM documents),
+         |rk AS (
+         |  SELECT source, doc_id, weight, priority,
+         |         row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY priority DESC, doc_id) AS rk
+         |  FROM pr),
+         |srcs AS (
+         |  SELECT source,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(weight) AS BIGINT) AS total_weight,
+         |         CAST(coalesce(max(CASE WHEN rk = 11 THEN priority END), 0)
+         |           AS BIGINT) AS tau
+         |  FROM rk GROUP BY source)
+         |SELECT r.source, s.n_docs, s.total_weight, s.tau,
+         |       CAST(round(sum(CAST(round(greatest(
+         |           CAST(r.weight AS DOUBLE),
+         |           CAST(s.tau AS DOUBLE)), 6)
+         |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS ht_estimate
+         |FROM rk r JOIN srcs s USING (source)
+         |WHERE r.rk <= 10
+         |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin
     },
 
     // Replays the SAME two-round Lloyd training CTE as kmeans_lloyd /

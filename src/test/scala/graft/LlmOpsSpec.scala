@@ -313,6 +313,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted_estimate: exact when the source fits the sample, calibrated past it") {
+    // sf0.001 sources hold ≤ 10 docs → τ = 0 and the HT estimate must
+    // equal the exact total to the cent
+    val small = run("sample_weighted_estimate").collect()
+    assert(small.nonEmpty)
+    small.filter(_.getAs[Long]("n_docs") <= 10).foreach { r =>
+      assert(math.abs(r.getAs[Double]("ht_estimate") -
+        r.getAs[Long]("total_weight").toDouble) < 0.01,
+        s"source ${r.getString(0)}: τ=0 estimate must be exact")
+    }
+    // sf0.01 sources hold 25 docs → τ > 0; per-source estimates carry
+    // k=10 sampling variance but the signed error must stay bounded and
+    // roughly centered (deterministic given the fixed md5 draws)
+    val big = SparkEntry.queries("sample_weighted_estimate")(spark, sf001).collect()
+    val errs = big.map { r =>
+      assert(r.getAs[Long]("tau") > 0, s"source ${r.getString(0)} expected τ>0")
+      (r.getAs[Double]("ht_estimate") - r.getAs[Long]("total_weight")) /
+        r.getAs[Long]("total_weight").toDouble
+    }
+    assert(errs.forall(e => math.abs(e) < 0.5), errs.mkString(","))
+    assert(math.abs(errs.sum / errs.length) < 0.2,
+      s"estimator looks biased: mean err ${errs.sum / errs.length}")
+  }
+
   test("sample_cluster_diverse: per-cell quota, independent JVM-md5 replay agrees") {
     val rows = run("sample_cluster_diverse").collect()
     assert(rows.nonEmpty)
