@@ -202,7 +202,39 @@ object Dedup {
     * candidate blowup on vocabulary-limited corpora. Candidates must be
     * re-verified on FULL shingle sets (jaccardFor) — the cap prunes
     * generation, not similarity. */
-  def cappedCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
+  def cappedCandidates(sh: DataFrame, maxDf: Int): DataFrame =
+    cappedCandidatesBy(sh, lit(maxDf.toLong))
+
+  /** CORPUS-PROPORTIONAL df cap — the scale-correct form of the
+    * stop-shingle cut: greatest(64, ⌈n_docs/200⌉), i.e. 0.5% of the
+    * corpus, computed with INTEGER ceiling division ((n+199) div 200)
+    * so every engine agrees bit-for-bit at any corpus size (ceil of
+    * n·0.005 in doubles rounds UP spuriously whenever n is a multiple
+    * of 200 — 0.005 has no binary representation). An ABSOLUTE cap is
+    * the recall cliff the round-7 10× soak exposed on the winnow path
+    * (and, at 7% of true pairs, on this one: duplication multiplies
+    * every shingle's df, pushing previously-rare shingles past a fixed
+    * 64): "too common to be discriminative" is a fraction of the
+    * corpus, not a constant. Equals 64 at every shipped SF, so oracle
+    * results are unchanged; at the soak's 50 k docs it reads 250 and
+    * the capped pair set matches the lossless prefix path again. The
+    * cap is a 1-row aggregate broadcast in-plan — no driver fetch. */
+  def cappedCandidatesProportional(sh: DataFrame): DataFrame = {
+    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
+      .select(greatest(lit(64L),
+        expr("(n_docs + 199) div 200")).as("cap"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("cap"))
+      .select("shingle")
+    val idx = sh.join(rare, Seq("shingle"))
+    idx.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+  }
+
+  private def cappedCandidatesBy(sh: DataFrame, maxDf: org.apache.spark.sql.Column): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
@@ -489,8 +521,22 @@ object Dedup {
     * cluster scale. */
   private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     graft.core.Staged(s, key)(build)
+  /** The documents scan fanned out to full parallelism for the ROW-LOCAL
+    * staged derivations (shingles / simhash / winnow / grams): those
+    * builds are narrow by design, so they inherit the SCAN's split
+    * count — and a small corpus compresses to a single parquet split,
+    * which would serialize the per-doc kernels onto one task (observed:
+    * the 10× soak's 50 k-doc corpus is ONE 1 MB snappy file; the shingle
+    * stage build ran 1-way and dedup_clusters paid 415 s). One narrow
+    * row per DOC crosses this exchange — orders of magnitude cheaper
+    * than the per-token/per-position shuffles the row-local rewrites
+    * removed; on a cluster-scale corpus the scan already has thousands
+    * of splits and this repartition is just the stage write's layout. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   def stagedShingles(s: SparkSession, dir: String): DataFrame =
-    staged(s, dir)(shingles(Tables.documents(s, dir)))
+    staged(s, dir)(shingles(docsParallel(s, dir)))
   /** Prefix index staged like the shingle index: the candidate self-join
     * references it twice, and re-running two window pipelines per branch
     * dominated the query's cost. */
@@ -501,7 +547,7 @@ object Dedup {
     * joins), and each reference re-ran the 32-conditional-sum aggregate
     * over every token. */
   def stagedSimhash(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|simhash")(simhash32(Tables.documents(s, dir)))
+    staged(s, s"$dir|simhash")(simhash32(docsParallel(s, dir)))
   /** Minhash signatures staged: the LSH band self-join references the
     * signature table on both sides — unstaged, that is 2x16 md5 hashes
     * per shingle instead of 1x16. */
@@ -517,10 +563,10 @@ object Dedup {
     * score Jaccard from it, dedup_containment scores both containment
     * directions from it — and unstaged each re-ran the capped
     * inverted-index self-join + shared-count aggregate from scratch. */
-  def stagedCappedShared(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    staged(s, s"$dir|cappedshared|$maxDf") {
+  def stagedCappedShared(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|cappedshared|prop") {
       val sh = stagedShingles(s, dir)
-      sharedCountsFor(cappedCandidates(sh, maxDf), sh)
+      sharedCountsFor(cappedCandidatesProportional(sh), sh)
     }
   /** LSH candidate pairs staged per band shape: the tuning sweep consumes
     * each config's candidate set twice (candidate count + exact verify) and
@@ -552,7 +598,7 @@ object Dedup {
     * window minima (the doc_winnow_fingerprints derivation). Staged:
     * the per-doc profile reads it once, the cross-doc pair join twice. */
   def stagedWinnowFps(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|winnowfps")(winnowFpsRowLocal(Tables.documents(s, dir)))
+    staged(s, s"$dir|winnowfps")(winnowFpsRowLocal(docsParallel(s, dir)))
 
   /** ROW-LOCAL winnowing (codegen kernel): the window rendition below
     * shuffled up to 8,192 rows per doc through a (doc_id, pos) window
@@ -587,7 +633,7 @@ object Dedup {
   def stagedGrams(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|grams|$SubstrLen") {
       val L = SubstrLen
-      Tables.documents(s, dir)
+      docsParallel(s, dir)
         .filter(length(col("text")) >= L)
         .select(col("doc_id"),
           explode(sequence(lit(1),
@@ -679,7 +725,9 @@ object Dedup {
 
     // Inverted-index n-gram Jaccard near-dup pairs (threshold 0.5),
     // SHIPPED via the df-capped candidate path: stop-shingles (document
-    // frequency > 64) are dropped before the self-join — a df-f bucket
+    // frequency > the corpus-proportional cap, greatest(64, ⌈n/200⌉) —
+    // see cappedCandidatesProportional) are dropped before the
+    // self-join — a df-f bucket
     // emits O(f²) pairs, so one boilerplate sentence shared by most of
     // a 100 TB corpus would otherwise make a df≈N bucket → N² pairs in
     // one task — then survivors are scored on their FULL shingle sets.
@@ -689,7 +737,7 @@ object Dedup {
     // (sharedCounts), and the DuckDB oracle replays the SAME df-capped
     // candidate generation so the gate checks the shipped semantics.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      jaccardOfShared(stagedCappedShared(s, dir, 64))
+      jaccardOfShared(stagedCappedShared(s, dir))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")),
@@ -723,7 +771,7 @@ object Dedup {
     }),
 
     // Same result as dedup_ngram_jaccard, via the 100 TB candidate path:
-    // drop stop-shingles (document frequency > 64) from the inverted
+    // drop stop-shingles (df > greatest(64, ⌈n/200⌉)) from the inverted
     // index BEFORE the self-join — a df-f bucket emits O(df²) pairs, so
     // unbounded df is the operator's scale cliff — then verify the
     // surviving candidates with exact Jaccard over the FULL shingle
@@ -732,7 +780,7 @@ object Dedup {
     // candidates only, not reported pairs (spec + oracle assert
     // equality with the uncapped query).
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
-      jaccardOfShared(stagedCappedShared(s, dir, 64))
+      jaccardOfShared(stagedCappedShared(s, dir))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")),
@@ -820,7 +868,7 @@ object Dedup {
     // of those is rare — LlmOpsSpec asserts equality with the uncapped
     // formulation, and the oracle replays the same capped candidates.
     "dedup_containment" -> ((s, dir) => {
-      val shared = stagedCappedShared(s, dir, 64)
+      val shared = stagedCappedShared(s, dir)
       val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
         (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
       val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
@@ -842,7 +890,7 @@ object Dedup {
     // the staged shared-count artifact, so the marginal cost is one
     // 5-column join against the (tiny, broadcast) doc→source map.
     "dedup_cross_source" -> ((s, dir) => {
-      val pairs = jaccardOfShared(stagedCappedShared(s, dir, 64))
+      val pairs = jaccardOfShared(stagedCappedShared(s, dir))
         .filter(col("jaccard") >= 0.5)
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       pairs
@@ -1005,7 +1053,7 @@ object Dedup {
     "dedup_winnow_pairs" -> ((s, dir) => {
       val fps = stagedWinnowFps(s, dir)
       val cap = fps.agg(countDistinct("doc_id").as("n_docs"))
-        .select(greatest(lit(64L), ceil(col("n_docs") * 0.005)).as("cap"))
+        .select(greatest(lit(64L), expr("(n_docs + 199) div 200")).as("cap"))
       val rare = fps
         .join(fps.groupBy("fp").agg(count(lit(1)).as("df")), "fp")
         .crossJoin(broadcast(cap))
@@ -1067,8 +1115,8 @@ object Dedup {
   /** Uncapped exact-Jaccard oracle — the reference formulation. Used for
     * the LOSSLESS prefix path only; the df-capped queries replay the cap
     * in their own oracle (below) so the gate checks what actually ships:
-    * a pair whose every shared shingle has df > 64 would be dropped by
-    * Spark yet present in an uncapped oracle. */
+    * a pair whose every shared shingle has df past the cap would be
+    * dropped by Spark yet present in an uncapped oracle. */
   private val uncappedJaccardOracle: String =
     s"""WITH $shingleCte,
        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
@@ -1082,11 +1130,16 @@ object Dedup {
        |WHERE CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** DuckDB twin of [[cappedCandidates]]: candidate pairs must share at
-    * least one shingle with document frequency <= 64; scores still come
-    * from FULL shingle sets (the cap prunes generation, not the score). */
+  /** DuckDB twin of [[cappedCandidatesProportional]]: candidate pairs
+    * must share at least one shingle with document frequency <= the
+    * corpus-proportional cap greatest(64, ceil(n_docs/200)) — integer
+    * ceiling division, so both engines agree at any corpus size; scores
+    * still come from FULL shingle sets (the cap prunes generation, not
+    * the score). */
   private val cappedCandSql: String =
-    """rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 64),
+    """cap AS (SELECT greatest(64, (count(DISTINCT doc_id) + 199) // 200) AS cap FROM sh),
+      |rare AS (SELECT shingle FROM sh GROUP BY 1
+      |         HAVING count(*) <= (SELECT cap FROM cap)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sh a JOIN rare r ON a.shingle = r.shingle
@@ -1381,7 +1434,7 @@ object Dedup {
 
     "dedup_winnow_pairs" ->
       s"""WITH $winnowCte,
-         |cap AS (SELECT greatest(64, CAST(ceil(count(DISTINCT doc_id) * 0.005) AS BIGINT)) AS cap
+         |cap AS (SELECT greatest(64, (count(DISTINCT doc_id) + 199) // 200) AS cap
          |        FROM fps),
          |dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1), cap
          |        WHERE df <= cap),

@@ -117,6 +117,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("proportional df cap recovers pairs an absolute cap drops at high duplication") {
+    import spark.implicits._
+    // 20,000 docs → cap = greatest(64, ⌈20000/200⌉) = 100.
+    // "s_pair" has df 80: past an absolute 64, inside the proportional
+    // cap. "s_stop" has df 148: past both — still pruned as boilerplate.
+    val rows =
+      Seq((1L, "s_pair"), (2L, "s_pair"), (3L, "s_stop"), (4L, "s_stop")) ++
+        (5L to 82L).map(i => (i, "s_pair")) ++
+        (83L to 228L).map(i => (i, "s_stop")) ++
+        (229L to 20000L).map(i => (i, s"u_$i"))
+    val sh = rows.toDF("doc_id", "shingle")
+    val prop = Dedup.cappedCandidatesProportional(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val abs = Dedup.cappedCandidates(sh, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prop.contains((1L, 2L)), "df-80 pair must survive the proportional cap")
+    assert(!abs.contains((1L, 2L)), "absolute 64 was expected to drop the df-80 pair")
+    assert(!prop.contains((3L, 4L)), "df-148 boilerplate must stay pruned")
+    // candidate volume stays bounded: only the df<=100 bucket fans out
+    assert(prop.size === 80 * 79 / 2)
+  }
+
   test("banded near-dup LSH: subset of exact all-pairs, identical scores") {
     val exact = Similarity.allPairsNeardup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
