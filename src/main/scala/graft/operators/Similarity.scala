@@ -350,6 +350,40 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training payoff of the
+    // batch query axis: for EVERY vector, the single most-similar
+    // neighbor carrying a DIFFERENT label (the "hard negative" a
+    // contrastive loss wants: maximally confusable, definitely wrong).
+    // Identical plan discipline to ann_ivf_trained_batch — whole corpus
+    // as query set, shuffle-hash join on the trained cell, label
+    // mismatch applied as a join-side filter BEFORE scoring so excluded
+    // same-label pairs never cost a dot product, top-1 via a
+    // query_id-partitioned window (WindowGroupLimit prunes to 1 row per
+    // query map-side). Queries whose cell holds no opposite-label vector
+    // yield no row — a real miner would widen nprobe for those, which
+    // ann_ivf_trained_batch_mp already proves out. Nothing is
+    // proportional to |queries| on any single node.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val assigned = emb.join(Clustering.trainedCells(s, dir), "vec_id")
+      val q = assigned
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell"), col("label").as("qlabel"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.hint("shuffle_hash").join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"),
+          col("label").as("neg_label"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("qlabel"), col("vec_id").as("neg_id"),
+          col("neg_label"), round(col("score"), 6).as("score"))
+        .orderBy("query_id")
+    }),
+
     // MULTI-PROBE batch IVF — ann_ivf_trained_batch widened to nprobe=2,
     // marrying ann_multiprobe_topk's recall lift with the query-axis
     // scale plan: each query searches its own trained cell PLUS its
@@ -836,6 +870,26 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, rank, vec_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= $BatchTopK ORDER BY query_id, rank""".stripMargin,
+
+    // hard negatives: batch chain + label-mismatch filter, top-1
+    "emb_hard_negatives" ->
+      s"""WITH ${Clustering.trainedCellsCtes},
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, e.label, a2.cell
+         |  FROM embeddings e JOIN a2 USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         |         e.vec_id AS vec_id, e.label AS neg_label,
+         |         ${cosineSql("e.embedding", "q.embedding")} AS score
+         |  FROM assigned e JOIN assigned q ON e.cell = q.cell
+         |  WHERE e.vec_id <> q.vec_id AND e.label <> q.label),
+         |ranked AS (
+         |  SELECT query_id, qlabel, vec_id, neg_label, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, qlabel, vec_id AS neg_id, neg_label,
+         |       round(score, 6) AS score
+         |FROM ranked WHERE rank = 1 ORDER BY query_id""".stripMargin,
 
     // multi-probe batch: same training chain + the probes CTE (rn ≤ P
     // under a2's exact ranking), queries meet cells via the probe rows

@@ -208,6 +208,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hard-negative mining keeps the shuffled query axis and prunes top-1 map-side") {
+    // emb_hard_negatives rides the batch-IVF plan: the cell join must
+    // stay a ShuffledHashJoin (query side = whole corpus, never
+    // broadcast), and the rank=1 filter must compile to a
+    // WindowGroupLimit so each task keeps one candidate per query
+    // BEFORE the window exchange — the map-side top-k that makes the
+    // mining pass linear in candidates, not in (candidates · log k)
+    // through a sort spill
+    val p = plan("emb_hard_negatives")
+    val cellJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[cell")).toSeq
+    assert(cellJoins.nonEmpty, s"no cell-keyed join found:\n$p")
+    assert(cellJoins.forall(_.contains("ShuffledHashJoin")),
+      s"cell join must shuffle, not broadcast, the query side:\n${cellJoins.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"), s"rank=1 should prune via WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("interval outer join keeps the equi key (no nested loop)") {
     val p = plan("join_interval_outer")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
