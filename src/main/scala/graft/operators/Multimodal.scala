@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Staged, Tables}
 
 /** Multimodal-column plumbing: media as opaque binary columns + typed
   * metadata, processed partition-batch-wise.
@@ -41,6 +41,50 @@ object Multimodal {
       }
   }
 
+  /** 60-bit average-hash (aHash) fingerprint over the opaque binary
+    * payload — the perceptual-hash shape image dedup uses, computed on
+    * bytes so it is oracle-checkable without codecs: the payload is cut
+    * into 60 equal slices ("pixels"), each slice's mean byte value is
+    * thresholded against the whole-payload mean, and the 60 resulting
+    * bits pack into one BIGINT. Mean-based bits are what makes this a
+    * NEAR-dup hash: a small insertion shifts slice contents by a few
+    * bytes and most slice means stay on the same side of the global
+    * mean (measured on the corpus: near-dup pairs land at hamming ≈ 4,
+    * unrelated pairs at ≈ 30 of 60). All arithmetic is integer-exact —
+    * slice sums are integer-valued doubles (< 2^53) and both thresholds
+    * are integer/integer divisions — so Spark and DuckDB agree
+    * bit-for-bit with no float-summation-order hazard. Row-local: one
+    * narrow projection, no explode, no shuffle. */
+  private[graft] def ahashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Staged(s, s"$dir|multimodal_ahash_fp") {
+      ahashOf(Tables.documents(s, dir))
+    }
+
+  /** The fingerprint computation itself, over any (doc_id, text) frame —
+    * split out so specs can feed adversarial synthetic payloads. */
+  private[graft] def ahashOf(docs: DataFrame): DataFrame =
+      docs
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("h"),
+          length(col("text").cast("binary")).as("nb"))
+        .withColumn("bl", greatest(lit(1), expr("(nb + 59) div 60")))
+        .withColumn("ss", expr(
+          """transform(sequence(0, 59), i ->
+            |  aggregate(filter(sequence(0, bl - 1), j -> i * bl + j < nb),
+            |    named_struct('s', cast(0 as double), 'c', 0),
+            |    (acc, j) -> named_struct(
+            |      's', acc.s + cast(conv(substring(h, (i * bl + j) * 2 + 1, 2), 16, 10) as double),
+            |      'c', acc.c + 1)))""".stripMargin))
+        .withColumn("da", expr(
+          "CASE WHEN nb = 0 THEN cast(null as double) " +
+            "ELSE aggregate(ss, cast(0 as double), (a, x) -> a + x.s) / nb END"))
+        .withColumn("fp", expr(
+          """CASE WHEN nb = 0 THEN cast(0 as bigint) ELSE
+            |aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) ->
+            |  acc + CASE WHEN ss[i].c > 0 AND ss[i].s / ss[i].c > da
+            |             THEN shiftleft(cast(1 as bigint), i)
+            |             ELSE cast(0 as bigint) END) END""".stripMargin))
+        .select(col("doc_id"), col("fp"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Declarative twin of decodeMeta (same arithmetic in pure columns) so
     // the binary plumbing is oracle-checked end to end. first_byte is the
@@ -65,6 +109,41 @@ object Multimodal {
 
     "multimodal_meta_mp" -> ((s, dir) =>
       decodeMeta(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
+    // Perceptual-hash near-dup over the binary payload — the image-dedup
+    // pipeline with the codec stubbed out: aHash fingerprint (see
+    // ahashFingerprints), then 4×15-bit LSH banding for candidates and
+    // an exact hamming ≤ 12 verify. Scale shape is the simhash one:
+    // candidates come from per-band equality joins (never all-pairs),
+    // each surviving pair is emitted exactly once at its FIRST agreeing
+    // band — a row-local predicate over the two fingerprints riding the
+    // join, so no pair-level distinct and no join-backs — and the verify
+    // is one bit_count on the already-joined fingerprints. The staged
+    // fingerprint table is the artifact a production image-dedup job
+    // persists between "hash the corpus" and "mine the pairs".
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      val fp = ahashFingerprints(s, dir)
+      val bands = fp.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftright(col("fp"), 15 * b).bitwiseAND(32767).as("sig"))): _*)).as("e"))
+        .select(col("doc_id"), col("fp"), col("e.b").as("b"), col("e.sig").as("sig"))
+      def band(c: Column, b: Int): Column =
+        shiftright(c, 15 * b).bitwiseAND(32767)
+      val firstAgreeingBand = (0 until 4).map { bb =>
+        (col("b") === bb) && (0 until bb)
+          .map(p => band(col("fa"), p) =!= band(col("fb"), p))
+          .foldLeft(lit(true))(_ && _)
+      }.reduce(_ || _)
+      bands.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
+          col("b"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+          col("b"), col("sig")), Seq("b", "sig"))
+        .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
+        .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("bigint"))
+        .filter(col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Frame sampling — the video-pipeline shape: chop each blob into
     // fixed 256-byte frames, keep every 4th, fingerprint each kept
@@ -107,6 +186,46 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "multimodal_meta" -> metaSql,
     "multimodal_meta_mp" -> metaSql,
+    // aHash fingerprints replayed in list algebra (integer-exact slice
+    // sums and thresholds — see ahashFingerprints); candidate pairs via
+    // DISTINCT band join (values equal to the canonical-band emission)
+    "multimodal_phash_neardup" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb FROM documents),
+        |sl AS (SELECT doc_id, h, nb, greatest(1, (nb + 59) // 60) AS bl FROM hx),
+        |arrs AS (
+        |  SELECT doc_id, nb,
+        |    list_transform(range(0,60), i ->
+        |      list_sum(list_transform(range(0,bl), j -> CASE WHEN i*bl+j < nb THEN
+        |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+1,1))-1)*16 +
+        |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+2,1))-1) ELSE NULL END))) AS ss,
+        |    list_transform(range(0,60), i ->
+        |      len(list_filter(range(0,bl), j -> i*bl+j < nb))) AS cc
+        |  FROM sl),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nb = 0 THEN 0 ELSE
+        |      CAST(list_sum(list_transform(range(0,60), i ->
+        |        CASE WHEN cc[i+1] > 0 AND CAST(ss[i+1] AS DOUBLE)/cc[i+1] >
+        |          CAST(list_sum(list_filter(ss, x -> x IS NOT NULL)) AS DOUBLE)/nb
+        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) END AS fp
+        |  FROM arrs),
+        |bands AS (
+        |  SELECT doc_id, fp, t.b,
+        |         (fp >> (15*CAST(t.b AS INTEGER))) & 32767 AS sig
+        |  FROM fp, range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN fp fa ON c.doc_a = fa.doc_id
+        |JOIN fp fb ON c.doc_b = fb.doc_id
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH hx AS (
         |  SELECT doc_id, hex(encode(text)) AS h,

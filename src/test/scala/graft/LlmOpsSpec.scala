@@ -634,6 +634,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("aHash fingerprint: insertion-tolerant, avalanche-free, empty doc is 0") {
+    // the property that makes the multimodal near-dup hash a NEAR-dup
+    // hash: a few inserted bytes shift slice contents but flip few
+    // mean-threshold bits, while unrelated payloads land near
+    // hamming 30 of 60
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 12 // 312 bytes, varied byte values
+    val edited = base.substring(0, 100) + "XYZ" + base.substring(100)
+    val unrelated = "9081726354".reverse * 31 + "qqqq"
+    val fps = Multimodal.ahashOf(
+        Seq((1L, base), (2L, edited), (3L, unrelated), (4L, ""))
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1, 2) <= 12, s"insertion flipped ${ham(1, 2)} of 60 bits")
+    assert(ham(1, 3) > 12, s"unrelated docs landed at hamming ${ham(1, 3)}")
+    assert(fps(4L) === 0L)
+  }
+
+  test("multimodal_phash_neardup: ordered pairs, single emission, verified hamming") {
+    val rows = run("multimodal_phash_neardup").collect()
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 12))
+    // canonical-band emission: a pair matching in several bands must
+    // still appear exactly once
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
   test("text stats/langid/quality return a row per doc") {
     val n = Tables.documents(spark, sf0001).count()
     for (name <- Seq("text_stats", "text_langid", "text_quality"))
