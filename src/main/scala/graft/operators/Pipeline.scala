@@ -189,6 +189,52 @@ object Pipeline {
         .select(col("doc_id"), col("schema_gen"), col("source"), col("lang"),
           col("n_chars"), length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id")
+    }),
+
+    // CDC MERGE — fold a changelog onto a materialized snapshot the way
+    // a lakehouse MERGE INTO does, with latest-wins upserts and delete
+    // tombstones ('error' events model deletes). The events stream is
+    // read as a changelog on entity key user_id, split at 2024-01-15:
+    // the base half compacts to a snapshot (latest non-tombstone state
+    // per key), the second half is the incoming delta. Merge rules:
+    // delta tombstone deletes the key, delta upsert replaces-or-inserts,
+    // untouched snapshot rows carry through — each output row tagged
+    // kept/updated/inserted. Scale shape: each side compacts with ONE
+    // hash shuffle on the key + a row_number()=1 filter that compiles to
+    // WindowGroupLimit (map-side top-1 — tasks forward one row per key,
+    // not the key's whole history), then ONE shuffled full-outer
+    // equi-join on the key. Nothing rescans history at merge time: at
+    // production scale the snapshot is a persisted artifact and each
+    // batch's cost is proportional to the DELTA, the same
+    // batch-proportional posture as dedup_incremental_minhash.
+    "pipeline_merge_upsert" -> ((s, dir) => {
+      val cut = "2024-01-15"
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      def latest(part: DataFrame): DataFrame = part
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      val snap = latest(ev.filter(col("ts") < lit(cut)))
+        .filter(col("event_type") =!= "error") // base tombstones compact away
+        .select(col("user_id"), col("ts").as("s_ts"),
+          col("event_type").as("s_type"), col("value").as("s_value"))
+      val delta = latest(ev.filter(col("ts") >= lit(cut)))
+        .select(col("user_id"), col("ts").as("d_ts"),
+          col("event_type").as("d_type"), col("value").as("d_value"))
+      snap.join(delta, Seq("user_id"), "full_outer")
+        .filter(col("d_type").isNull || col("d_type") =!= "error")
+        .select(col("user_id"),
+          when(col("d_type").isNull, lit("kept"))
+            .when(col("s_type").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("op"),
+          date_format(when(col("d_type").isNotNull, col("d_ts"))
+            .otherwise(col("s_ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          when(col("d_type").isNotNull, col("d_type"))
+            .otherwise(col("s_type")).as("last_type"),
+          when(col("d_type").isNotNull, col("d_value"))
+            .otherwise(col("s_value")).as("last_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -268,7 +314,37 @@ object Pipeline {
     "pipeline_dataset_card" -> cardSql,
 
     // the merge over per-shard partials must publish the very same card
-    "pipeline_card_mergeable" -> cardSql
+    "pipeline_card_mergeable" -> cardSql,
+
+    "pipeline_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |snap AS (
+        |  SELECT user_id, ts, event_type, value
+        |  FROM base WHERE rk = 1 AND event_type <> 'error'),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+        |delta AS (
+        |  SELECT user_id, ts, event_type, value FROM chg WHERE rk = 1)
+        |SELECT COALESCE(s.user_id, d.user_id) AS user_id,
+        |       CASE WHEN d.user_id IS NULL THEN 'kept'
+        |            WHEN s.user_id IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS op,
+        |       strftime(CASE WHEN d.user_id IS NOT NULL THEN d.ts ELSE s.ts END,
+        |                '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       CASE WHEN d.user_id IS NOT NULL THEN d.event_type
+        |            ELSE s.event_type END AS last_type,
+        |       CASE WHEN d.user_id IS NOT NULL THEN d.value
+        |            ELSE s.value END AS last_value
+        |FROM snap s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        |WHERE d.event_type IS NULL OR d.event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 
   private lazy val cardSql: String =

@@ -792,6 +792,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(dups === 1L)
   }
 
+  test("pipeline_merge_upsert: tombstones delete, merge agrees with global replay") {
+    val rows = run("pipeline_merge_upsert").collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(byUser.size === rows.length, "one state row per key")
+    assert(rows.forall(_.getAs[String]("last_type") != "error"),
+      "no tombstone may surface as live state")
+    // the snapshot+delta merge must equal the from-scratch latest-wins
+    // replay over the WHOLE changelog — the invariant that makes
+    // incremental folding safe to run batch after batch
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+    val replay = ev.groupBy(_.getAs[Long]("user_id")).flatMap { case (u, es) =>
+      val last = es.maxBy(r =>
+        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+      if (last.getAs[String]("event_type") == "error") None
+      else Some(u -> last.getAs[String]("event_type"))
+    }.toMap
+    assert(byUser.keySet === replay.keySet)
+    byUser.foreach { case (u, r) =>
+      assert(r.getAs[String]("last_type") === replay(u), s"user $u") }
+  }
+
   test("pipeline_card_mergeable: shard-merge publishes the exact direct card") {
     val direct = run("pipeline_dataset_card").collect().map(_.toSeq).toSeq
     val merged = run("pipeline_card_mergeable").collect().map(_.toSeq).toSeq
