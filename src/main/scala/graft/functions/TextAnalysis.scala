@@ -552,6 +552,55 @@ object TextAnalysis {
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
         .orderBy("doc_id", "rn")
+    }),
+
+    // Positional PHRASE (bigram) inverted index — the retrieval-side
+    // artifact of a corpus pipeline (decontamination lookups, phrase
+    // search, span attribution all probe one): term → delta-encoded
+    // positional postings "doc:p0,Δ,Δ|doc:…". Built the way segment
+    // writers build it, with both scale guards in-plan: (1) a
+    // corpus-proportional DF CAP ((N+9) div 10, integer-exact, joined as
+    // a broadcast 1-row aggregate) drops stopword-class terms whose
+    // posting rows would otherwise grow with the corpus, and (2) BLOCK
+    // SHARDING — postings split into 32-doc blocks by a row_number over
+    // (term ORDER BY doc_id), so no output row exceeds 32 postings no
+    // matter how large a surviving term's df gets; readers range over
+    // (term, block). Positions are delta-encoded per doc (first
+    // absolute, then gaps) by an indexed transform over the sorted
+    // position array — row-local, integer-exact. Shuffles: one agg on
+    // (term, doc), one df agg + join on term, one bounded window, one
+    // agg on (term, block) — all on keys that partition evenly.
+    "text_inverted_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pos = docs
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 2), i ->
+            |  named_struct('p', cast(i as bigint),
+            |               'w', concat(ws[i], ' ', ws[i + 1])))""".stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.p").as("p"), col("e.w").as("w"))
+      val perdoc = pos.groupBy("w", "doc_id")
+        .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("ps"))
+      val dfTab = perdoc.groupBy("w").agg(count(lit(1)).as("df"))
+      val cap = docs.agg(expr("cast((count(1) + 9) div 10 as bigint)").as("cap"))
+      val wb = Window.partitionBy("w").orderBy("doc_id")
+      perdoc.join(dfTab, "w")
+        .crossJoin(broadcast(cap))
+        .filter(col("df") <= col("cap"))
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("block", expr("cast((rn - 1) div 32 as bigint)"))
+        .withColumn("post", concat(col("doc_id").cast("string"), lit(":"),
+          expr("concat_ws(',', transform(ps, (x, i) -> cast(IF(i = 0, x, x - ps[i - 1]) as string)))")))
+        .groupBy("w", "block")
+        .agg(max(col("df")).as("df"), count(lit(1)).as("n_docs"),
+          sum(col("tf")).as("tf"),
+          expr("concat_ws('|', transform(array_sort(collect_list(named_struct('d', doc_id, 'post', post))), s -> s.post))")
+            .as("postings"))
+        .select(col("w").as("term"), col("block"), col("df"),
+          col("n_docs"), col("tf"), col("postings"))
+        .orderBy("term", "block")
     })
   )
 
@@ -817,6 +866,41 @@ object TextAnalysis {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, rn FROM ranked
-        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // bigram postings replayed in list algebra; DuckDB's indexed
+    // lambdas are 1-based where Spark's are 0-based — both encode
+    // "first absolute, then gaps"
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |pos0 AS (
+        |  SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS p,
+        |         unnest(list_transform(ws, (x, i) ->
+        |           CASE WHEN i < len(ws) THEN x || ' ' || ws[i + 1] END)) AS w
+        |  FROM toks),
+        |pos AS (SELECT doc_id, p, w FROM pos0 WHERE w IS NOT NULL),
+        |perdoc AS (
+        |  SELECT w, doc_id, count(*) AS tf, list(p ORDER BY p) AS ps
+        |  FROM pos GROUP BY w, doc_id),
+        |df AS (SELECT w, count(*) AS df FROM perdoc GROUP BY w),
+        |capped AS (
+        |  SELECT p.*, df.df FROM perdoc p JOIN df USING (w)
+        |  WHERE df.df <= (SELECT (count(*) + 9) // 10 FROM documents)),
+        |blocked AS (
+        |  SELECT *, (row_number() OVER (PARTITION BY w ORDER BY doc_id) - 1) // 32 AS block
+        |  FROM capped),
+        |enc AS (
+        |  SELECT w, block, doc_id, tf, df,
+        |         doc_id || ':' || list_aggregate(list_transform(ps, (x, i) ->
+        |           CAST(CASE WHEN i = 1 THEN x ELSE x - ps[i - 1] END AS VARCHAR)),
+        |           'string_agg', ',') AS post
+        |  FROM blocked)
+        |SELECT w AS term, CAST(block AS BIGINT) AS block,
+        |       CAST(max(df) AS BIGINT) AS df, count(*) AS n_docs,
+        |       CAST(sum(tf) AS BIGINT) AS tf,
+        |       string_agg(post, '|' ORDER BY doc_id) AS postings
+        |FROM enc GROUP BY w, block ORDER BY term, block""".stripMargin
   )
 }

@@ -663,6 +663,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)
   }
 
+  test("text_inverted_index: blocks bounded, delta-decoded positions locate the phrase") {
+    val rows = run("text_inverted_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 1 && n <= 32, s"block size $n")
+      assert(r.getAs[String]("postings").split('|').length.toLong === n)
+    }
+    // decode every posting of a handful of terms and check the bigram
+    // really starts at each decoded position
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(5).foreach { r =>
+      val term = r.getAs[String]("term")
+      r.getAs[String]("postings").split('|').foreach { post =>
+        val Array(docS, deltas) = post.split(':')
+        val toks = texts(docS.toLong).split(" ", -1)
+        var p = 0L
+        deltas.split(',').zipWithIndex.foreach { case (d, i) =>
+          p = if (i == 0) d.toLong else p + d.toLong
+          val bigram = s"${toks(p.toInt)} ${toks(p.toInt + 1)}"
+          assert(bigram === term, s"doc $docS pos $p: '$bigram' != '$term'")
+        }
+      }
+    }
+  }
+
   test("text stats/langid/quality return a row per doc") {
     val n = Tables.documents(spark, sf0001).count()
     for (name <- Seq("text_stats", "text_langid", "text_quality"))
