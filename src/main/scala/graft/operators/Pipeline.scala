@@ -23,6 +23,17 @@ import graft.functions.TextAnalysis
   */
 object Pipeline {
 
+  /** Per-key latest record of a changelog slice — the CDC compaction
+    * primitive shared by pipeline_merge_upsert and the streaming
+    * [[graft.streaming.CdcApply]] so the two folds cannot drift. One
+    * hash shuffle on the key; the rank=1 filter compiles to
+    * WindowGroupLimit (map-side top-1), so tasks forward one row per
+    * key, never a key's whole history. */
+  private[graft] def latestPerKey(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    ev.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "pipeline_clean_corpus" -> ((s, dir) => {
@@ -212,14 +223,11 @@ object Pipeline {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-      def latest(part: DataFrame): DataFrame = part
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
-      val snap = latest(ev.filter(col("ts") < lit(cut)))
+      val snap = latestPerKey(ev.filter(col("ts") < lit(cut)))
         .filter(col("event_type") =!= "error") // base tombstones compact away
         .select(col("user_id"), col("ts").as("s_ts"),
           col("event_type").as("s_type"), col("value").as("s_value"))
-      val delta = latest(ev.filter(col("ts") >= lit(cut)))
+      val delta = latestPerKey(ev.filter(col("ts") >= lit(cut)))
         .select(col("user_id"), col("ts").as("d_ts"),
           col("event_type").as("d_type"), col("value").as("d_value"))
       snap.join(delta, Seq("user_id"), "full_outer")
