@@ -100,9 +100,14 @@ object Clustering {
 
   /** Quantized corpus + the two-Lloyd-round trained centroids — shared
     * between kmeans_lloyd and the trained-IVF search composition. */
-  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
+  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainedOn(Tables.embeddings(s, dir))
+
+  /** Training over an arbitrary embedding slice — the generalization
+    * ann_ivf_upsert needs to train on the BASE corpus only (k and the
+    * seed centroids adapt to the slice's own cardinality). */
+  private def trainedOn(emb0: DataFrame): (DataFrame, DataFrame) = {
+    val emb = emb0.select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
     val cents0 = emb.crossJoin(broadcast(kRow(emb)))
       .filter(col("vec_id") >= CentBase && col("vec_id") < lit(CentBase.toLong) + col("k"))
       .select((col("vec_id") - CentBase).cast("int").as("cid"), col("qarr").as("carr"))
@@ -159,6 +164,31 @@ object Clustering {
         .select(col("cell").cast("long").as("cell"), col("n"),
           col("min_vec"), col("vec_sum"), col("cent_sum"))
         .orderBy("cell")
+    }),
+
+    // INCREMENTAL INDEX MAINTENANCE — fold a batch of NEW vectors into
+    // a trained IVF index without retraining: the base corpus (first
+    // 80%, integer-exact split (N*4) div 5 as a broadcast 1-row
+    // aggregate) trains the coarse quantizer, and the arriving 20% are
+    // assigned to the EXISTING centroids. The assignment is the same
+    // shuffle-free path every other consumer uses — one broadcast
+    // centroid row, row-wise integer argmin — so per-batch cost is
+    // proportional to the BATCH, never the index: the ANN-axis analogue
+    // of dedup_incremental_minhash's ingest posture. (Production
+    // re-trains when drift accumulates; between re-trains, this is the
+    // entire steady-state write path of an IVF store.)
+    "ann_ivf_upsert" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val split = emb.agg(expr("cast((count(1) * 4) div 5 as bigint)").as("s"))
+      val base = emb.crossJoin(broadcast(split))
+        .filter(col("vec_id") < col("s")).select("vec_id", "embedding")
+      val (_, cents1) = trainedOn(base)
+      val newVecs = emb.crossJoin(broadcast(split))
+        .filter(col("vec_id") >= col("s"))
+        .select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
+      assign(newVecs, cents1)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
     })
   )
 
@@ -168,13 +198,17 @@ object Clustering {
     * never drift apart. Ranking by sum((v-cv)²) is the same argmin as
     * Spark's dot(c,c)-2·dot(q,c) (they differ by the per-vector constant
     * ||q||²), with the same smaller-cid tiebreak. */
-  private[operators] val trainedCellsCtes: String =
+  private[operators] val trainedCellsCtes: String = trainedCellsCtesOn("embeddings")
+
+  /** Same chain trained on an arbitrary source expression — the oracle
+    * side of [[trainedOn]] (ann_ivf_upsert trains on the base slice). */
+  private[operators] def trainedCellsCtesOn(src: String): String =
     s"""q AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
-       |  FROM embeddings),
+       |  FROM $src),
        |kk AS (SELECT greatest($MinK, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
-       |       FROM embeddings),
+       |       FROM $src),
        |c0 AS (SELECT vec_id - $CentBase AS cid, dim, v AS cv FROM q, kk
        |       WHERE vec_id >= $CentBase AND vec_id < $CentBase + kk.k),
        |d1 AS (
@@ -215,6 +249,24 @@ object Clustering {
          |       min(vec_id) AS min_vec, CAST(sum(vec_id) AS BIGINT) AS vec_sum,
          |       cs.cent_sum
          |FROM a2 JOIN cs USING (cell)
-         |GROUP BY a2.cell, cs.cent_sum ORDER BY cell""".stripMargin
+         |GROUP BY a2.cell, cs.cent_sum ORDER BY cell""".stripMargin,
+
+    // base-slice training chain + the new batch assigned to c1
+    "ann_ivf_upsert" ->
+      s"""WITH sp AS (SELECT (count(*) * 4) // 5 AS s FROM embeddings),
+         |${trainedCellsCtesOn("(SELECT e.* FROM embeddings e, sp WHERE e.vec_id < sp.s)")},
+         |qn AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+         |  FROM embeddings, sp WHERE vec_id >= sp.s),
+         |dn AS (
+         |  SELECT x.vec_id, c.cid, sum((x.v - c.cv) * (x.v - c.cv)) AS d2
+         |  FROM qn x JOIN c1 c USING (dim) GROUP BY 1, 2),
+         |an AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dn) WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM an
+         |ORDER BY vec_id""".stripMargin
   )
 }
