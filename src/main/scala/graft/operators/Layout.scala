@@ -136,6 +136,37 @@ object Layout {
         .orderBy("day")
     }),
 
+    // Small-file COMPACTION planner — the maintenance pass every
+    // day-partitioned ingest needs: tiny per-(type, day) shard files
+    // bin-pack into target-size outputs. Runs over shard METADATA (one
+    // row per shard, never per data row — at 100 TB the shard listing is
+    // ~10⁶ rows where the data is 10¹¹), with the target size a
+    // corpus-proportional broadcast 1-row aggregate (total div 40,
+    // integer-exact). Packing is the contiguous greedy rule real
+    // compactors use: within each event_type, shards in day order, bin =
+    // exclusive-running-rows div target — so every output file covers a
+    // CONTIGUOUS day range and partition-prune locality survives the
+    // rewrite. The rewrite itself is bin-parallel (each output written
+    // by one task reading only its shards); CompactionSpec executes it
+    // and proves file count and locality. The window partitions by
+    // event_type — bounded keys, each holding only its own day rows.
+    "layout_compaction" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val shards = ev
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val target = ev.agg(
+        expr("greatest(cast(1 as bigint), count(1) div 40)").as("target"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      shards.crossJoin(broadcast(target))
+        .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("bin", expr("cast(cum_before div target as bigint)"))
+        .select(col("event_type"), col("day"), col("n_rows"), col("bin"))
+        .orderBy("event_type", "day")
+    }),
+
     // Per-z-bucket extents over events (user_id × value cents): 32
     // static buckets from the top 5 bits of the 32-bit Morton code.
     // Bounded min/max rectangles per bucket are the proof the layout
@@ -179,6 +210,20 @@ object Layout {
         |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "layout_compaction" ->
+      """WITH shards AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT greatest(1, count(*) // 40) AS target FROM events),
+        |c AS (
+        |  SELECT event_type, day, n_rows,
+        |         COALESCE(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM shards)
+        |SELECT event_type, day, n_rows,
+        |       CAST(cum_before // t.target AS BIGINT) AS bin
+        |FROM c, t ORDER BY event_type, day""".stripMargin,
     "layout_zorder" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id,
