@@ -570,7 +570,40 @@ object TextAnalysis {
     // position array — row-local, integer-exact. Shuffles: one agg on
     // (term, doc), one df agg + join on term, one bounded window, one
     // agg on (term, block) — all on keys that partition evenly.
-    "text_inverted_index" -> ((s, dir) => {
+    "text_inverted_index" -> ((s, dir) =>
+      invertedIndex(s, dir).orderBy("term", "block")),
+
+    // Decontamination-style PHRASE PROBE against the staged index — the
+    // read path that justifies building the artifact: a deterministic
+    // "benchmark" phrase set (the opening bigram of every 25th doc)
+    // joins the index on term and reports each phrase's df / total tf /
+    // block count (0s = phrase absent from the index: either unseen or
+    // df-capped away — both "clean" for decontamination purposes).
+    // Because the index is a Staged artifact shared with
+    // text_inverted_index, the probe never re-tokenizes the corpus:
+    // probe cost ∝ |benchmark| + matched postings, the same
+    // artifact-reuse posture as the dedup candidate tables.
+    "text_phrase_search" -> ((s, dir) => {
+      val probes = Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(split(col("text"), " ", -1).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(concat(col("ws")(0), lit(" "), col("ws")(1)).as("term"))
+        .distinct()
+      probes.join(invertedIndex(s, dir), Seq("term"), "left")
+        .groupBy("term")
+        .agg(coalesce(max("df"), lit(0L)).as("df"),
+          coalesce(sum("tf"), lit(0L)).as("tf"),
+          count(col("block")).as("n_blocks"))
+        .orderBy("term")
+    })
+  )
+
+  /** The positional bigram index as a staged artifact (see the
+    * text_inverted_index scaladoc for the build's scale guards) —
+    * shared by the build query and the phrase-probe read path. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.core.Staged(s, s"$dir|text_inverted_index") {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val pos = docs
@@ -600,9 +633,7 @@ object TextAnalysis {
             .as("postings"))
         .select(col("w").as("term"), col("block"), col("df"),
           col("n_docs"), col("tf"), col("postings"))
-        .orderBy("term", "block")
-    })
-  )
+    }
 
   private def sqlHits(set: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map("'" + _ + "'").mkString(",")})))"
@@ -872,35 +903,55 @@ object TextAnalysis {
     // lambdas are 1-based where Spark's are 0-based — both encode
     // "first absolute, then gaps"
     "text_inverted_index" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |pos0 AS (
-        |  SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS p,
-        |         unnest(list_transform(ws, (x, i) ->
-        |           CASE WHEN i < len(ws) THEN x || ' ' || ws[i + 1] END)) AS w
-        |  FROM toks),
-        |pos AS (SELECT doc_id, p, w FROM pos0 WHERE w IS NOT NULL),
-        |perdoc AS (
-        |  SELECT w, doc_id, count(*) AS tf, list(p ORDER BY p) AS ps
-        |  FROM pos GROUP BY w, doc_id),
-        |df AS (SELECT w, count(*) AS df FROM perdoc GROUP BY w),
-        |capped AS (
-        |  SELECT p.*, df.df FROM perdoc p JOIN df USING (w)
-        |  WHERE df.df <= (SELECT (count(*) + 9) // 10 FROM documents)),
-        |blocked AS (
-        |  SELECT *, (row_number() OVER (PARTITION BY w ORDER BY doc_id) - 1) // 32 AS block
-        |  FROM capped),
-        |enc AS (
-        |  SELECT w, block, doc_id, tf, df,
-        |         doc_id || ':' || list_aggregate(list_transform(ps, (x, i) ->
-        |           CAST(CASE WHEN i = 1 THEN x ELSE x - ps[i - 1] END AS VARCHAR)),
-        |           'string_agg', ',') AS post
-        |  FROM blocked)
-        |SELECT w AS term, CAST(block AS BIGINT) AS block,
-        |       CAST(max(df) AS BIGINT) AS df, count(*) AS n_docs,
-        |       CAST(sum(tf) AS BIGINT) AS tf,
-        |       string_agg(post, '|' ORDER BY doc_id) AS postings
-        |FROM enc GROUP BY w, block ORDER BY term, block""".stripMargin
+      s"""WITH $invIndexCtes
+         |SELECT * FROM idx ORDER BY term, block""".stripMargin,
+
+    "text_phrase_search" ->
+      s"""WITH $invIndexCtes,
+         |probes AS (
+         |  SELECT DISTINCT ws[1] || ' ' || ws[2] AS term
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+         |        WHERE doc_id % 25 = 0)
+         |  WHERE len(ws) >= 2)
+         |SELECT p.term, COALESCE(CAST(max(i.df) AS BIGINT), 0) AS df,
+         |       COALESCE(CAST(sum(i.tf) AS BIGINT), 0) AS tf,
+         |       count(i.block) AS n_blocks
+         |FROM probes p LEFT JOIN idx i ON p.term = i.term
+         |GROUP BY p.term ORDER BY p.term""".stripMargin
   )
+
+  /** Shared CTE chain for the bigram index oracles; final CTE is
+    * idx(term, block, df, n_docs, tf, postings). */
+  private val invIndexCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |pos0 AS (
+      |  SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS p,
+      |         unnest(list_transform(ws, (x, i) ->
+      |           CASE WHEN i < len(ws) THEN x || ' ' || ws[i + 1] END)) AS w
+      |  FROM toks),
+      |pos AS (SELECT doc_id, p, w FROM pos0 WHERE w IS NOT NULL),
+      |perdoc AS (
+      |  SELECT w, doc_id, count(*) AS tf, list(p ORDER BY p) AS ps
+      |  FROM pos GROUP BY w, doc_id),
+      |df AS (SELECT w, count(*) AS df FROM perdoc GROUP BY w),
+      |capped AS (
+      |  SELECT p.*, df.df FROM perdoc p JOIN df USING (w)
+      |  WHERE df.df <= (SELECT (count(*) + 9) // 10 FROM documents)),
+      |blocked AS (
+      |  SELECT *, (row_number() OVER (PARTITION BY w ORDER BY doc_id) - 1) // 32 AS block
+      |  FROM capped),
+      |enc AS (
+      |  SELECT w, block, doc_id, tf, df,
+      |         doc_id || ':' || list_aggregate(list_transform(ps, (x, i) ->
+      |           CAST(CASE WHEN i = 1 THEN x ELSE x - ps[i - 1] END AS VARCHAR)),
+      |           'string_agg', ',') AS post
+      |  FROM blocked),
+      |idx AS (
+      |  SELECT w AS term, CAST(block AS BIGINT) AS block,
+      |         CAST(max(df) AS BIGINT) AS df, count(*) AS n_docs,
+      |         CAST(sum(tf) AS BIGINT) AS tf,
+      |         string_agg(post, '|' ORDER BY doc_id) AS postings
+      |  FROM enc GROUP BY w, block)""".stripMargin
 }
