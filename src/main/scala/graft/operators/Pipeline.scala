@@ -202,6 +202,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // DQ ROUTING — the action pipeline_expectations only reports: every
+    // document is routed clean/quarantine with its violated rules named
+    // (fixed rule order, comma-joined), the split table a writer uses
+    // to land the two outputs separately so bad rows never silently
+    // vanish — they land reviewable, with the reason attached. Rules
+    // reuse the engine's own primitives (qualityScore, the PII
+    // detectors) so the gate cannot drift from the ops it guards. One
+    // narrow row-local projection: no shuffle, linear at any scale.
+    "pipeline_quarantine" -> ((s, dir) => {
+      val pii = expr(
+        "size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)) + " +
+          "size(regexp_extract_all(text, '[0-9]{6,}', 0))")
+      Tables.documents(s, dir)
+        .withColumn("violations", concat_ws(",",
+          when(col("n_chars") < 64, lit("too_short")),
+          when(TextAnalysis.qualityScore(col("text")) <= 0.5, lit("low_quality")),
+          when(pii > 0, lit("has_pii"))))
+        .select(col("doc_id"),
+          when(col("violations") === "", lit("clean"))
+            .otherwise(lit("quarantine")).as("route"),
+          col("violations"))
+        .orderBy("doc_id")
+    }),
+
     // CDC MERGE — fold a changelog onto a materialized snapshot the way
     // a lakehouse MERGE INTO does, with latest-wins upserts and delete
     // tombstones ('error' events model deletes). The events stream is
@@ -323,6 +347,21 @@ object Pipeline {
 
     // the merge over per-shard partials must publish the very same card
     "pipeline_card_mergeable" -> cardSql,
+
+    "pipeline_quarantine" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, concat_ws(',',
+         |    CASE WHEN n_chars < 64 THEN 'too_short' END,
+         |    CASE WHEN ${TextAnalysis.qualitySql} <= 0.5 THEN 'low_quality' END,
+         |    CASE WHEN len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+         |           + len(regexp_extract_all(text, '[0-9]{6,}')) > 0
+         |         THEN 'has_pii' END) AS violations
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN violations = '' THEN 'clean'
+         |            ELSE 'quarantine' END AS route,
+         |       violations
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     "pipeline_merge_upsert" ->
       """WITH base AS (

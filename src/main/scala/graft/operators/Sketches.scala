@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.FreqItems
+import graft.functions.{FreqItems, PortableHash}
 
 /** Sketch-aggregate surface: engine-level approximate aggregates whose
   * state is fixed-size per group (the 100 TB path for heavy hitters /
@@ -17,6 +17,41 @@ object Sketches {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // see kmvQuery scaladoc below
     "kmv_source_overlap" -> ((s, dir) => kmvQuery(s, dir)),
+
+    // COUNT-MIN sketch: point-frequency estimates from d=3 × w=256
+    // counters — the complement of FreqItems (which finds WHICH keys
+    // are heavy, but can answer nothing about an arbitrary key). Each
+    // event increments one counter per depth (bucket = portable 60-bit
+    // hash of "d:key" mod w — deterministic cross-engine, so the sketch
+    // itself is oracle-checkable, not just its estimates); a probe
+    // key's estimate is the MIN over its d counters, an overestimate by
+    // construction (collisions only add). Scale posture: the sketch IS
+    // a groupBy onto d·w bounded cells — mergeable by construction
+    // (shard sketches union by summing cells), fixed memory at any
+    // corpus size, one narrow pass + one tiny join to probe. The query
+    // reports est vs exact side by side for 5 probe keys; SketchOpsSpec
+    // asserts est ≥ exact corpus-wide.
+    "sketch_countmin" -> ((s, dir) => {
+      val W = 256L
+      val probeKeys = (1 to 5).map(_.toString)
+      def bucket(d: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        pmod(PortableHash.hash60(
+          concat(d.cast("string"), lit(":"), key)), lit(W))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"))
+      val cells = ev
+        .select(col("key"), explode(sequence(lit(0), lit(2))).as("d"))
+        .withColumn("bucket", bucket(col("d"), col("key")))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+      val pb = ev.filter(col("key").isin(probeKeys: _*)).distinct()
+        .select(col("key"), explode(sequence(lit(0), lit(2))).as("d"))
+        .withColumn("bucket", bucket(col("d"), col("key")))
+      val est = pb.join(cells, Seq("d", "bucket"))
+        .groupBy("key").agg(min(col("c")).as("est"))
+      val exact = ev.filter(col("key").isin(probeKeys: _*))
+        .groupBy("key").agg(count(lit(1)).as("exact"))
+      est.join(exact, "key").orderBy("key")
+    }),
 
     // Misra-Gries heavy hitters over o_orderpriority (5-value domain,
     // k=16 → sketch is exact, so the DuckDB GROUP BY oracle matches).
@@ -129,6 +164,26 @@ object Sketches {
   }
 
   def oracles: Map[String, String] = Map(
+    "sketch_countmin" -> {
+      def b(keyExpr: String) =
+        s"(${PortableHash.sql(s"CAST(t.d AS VARCHAR) || ':' || $keyExpr")}) % 256"
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+         |cells AS (
+         |  SELECT t.d, ${b("key")} AS bucket, count(*) AS c
+         |  FROM ev, range(3) t(d) GROUP BY 1, 2),
+         |pk AS (SELECT DISTINCT key FROM ev
+         |       WHERE key IN ('1', '2', '3', '4', '5')),
+         |pb AS (SELECT pk.key, t.d, ${b("pk.key")} AS bucket
+         |       FROM pk, range(3) t(d)),
+         |est AS (SELECT key, min(c) AS est
+         |        FROM pb JOIN cells USING (d, bucket) GROUP BY 1),
+         |ex AS (SELECT key, count(*) AS exact FROM ev
+         |       WHERE key IN ('1', '2', '3', '4', '5') GROUP BY 1)
+         |SELECT e.key, CAST(e.est AS BIGINT) AS est,
+         |       CAST(ex.exact AS BIGINT) AS exact
+         |FROM est e JOIN ex USING (key) ORDER BY key""".stripMargin
+    },
+
     "kmv_source_overlap" -> {
       val h = graft.functions.PortableHash.sql("shingle")
       val pairsVals = (for {

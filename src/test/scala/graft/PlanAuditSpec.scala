@@ -226,6 +226,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("CDC merge compacts both sides map-side and joins on the key") {
+    // both changelog halves must compact through WindowGroupLimit
+    // (one row per key forwarded per task, never a key's history) and
+    // the merge must be a keyed full-outer join, not any nested loop
+    val p = plan("pipeline_merge_upsert")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"both snapshot and delta should prune via WindowGroupLimit:\n$p")
+    assert(p.contains("FullOuter"), s"merge should be a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("interval outer join keeps the equi key (no nested loop)") {
     val p = plan("join_interval_outer")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

@@ -11,6 +11,37 @@ import graft.core.Tables
   */
 class SketchOpsSpec extends SparkSpec {
 
+  test("count-min: estimate ≥ exact for EVERY key, and shard-merge equals direct build") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val W = 256L
+    def bucket(d: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(PortableHash.hash60(concat(d.cast("string"), lit(":"), key)), lit(W))
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id").cast("string").as("key"))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), explode(sequence(lit(0), lit(2))).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("key")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val cells = cellsOf(ev)
+    // overestimate-only, corpus-wide: every key's min-over-depths ≥ its count
+    val allKeys = ev.distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(2))).as("d"))
+      .withColumn("bucket", bucket(col("d"), col("key")))
+    val est = allKeys.join(cells, Seq("d", "bucket"))
+      .groupBy("key").agg(min(col("c")).as("est"))
+    val bad = est.join(ev.groupBy("key").agg(count(lit(1)).as("exact")), "key")
+      .filter(col("est") < col("exact")).count()
+    assert(bad === 0L, "count-min must never underestimate")
+    // mergeable: two hash shards sketched separately, cells summed, equals direct
+    val shardMerged = cellsOf(ev.filter(PortableHash.hash60(col("key")) % 2 === 0))
+      .unionByName(cellsOf(ev.filter(PortableHash.hash60(col("key")) % 2 === 1)))
+      .groupBy("d", "bucket").agg(sum(col("c")).as("c"))
+    val direct = cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = shardMerged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === direct)
+  }
+
   test("mergeable HLL sketches: union of per-group sketches ≈ exact distinct") {
     // the 100 TB pattern: sketch once per partition/group, store, then
     // answer global distinct questions by UNIONING sketches — no rescan
