@@ -78,19 +78,7 @@ object Graph {
       ckpt: CheckpointStrategy = CheckpointStrategy.Local,
       renormalize: Boolean = true): DataFrame = {
     val e = ckpt.cut(edges)
-    // 1-row headroom budget: ranks may hold 62 − bitlen(Σw) bits. The
-    // scheme needs at least 1 bit of rank headroom, i.e. bitlen(Σw) ≤ 61
-    // (Σw itself a positive Long — a negative/overflowed total bins to 64
-    // chars and fails the same guard). Outside that envelope no shift
-    // schedule can keep the products exact, so fail loudly in-plan via
-    // raise_error rather than silently collapsing every rank to 0.
-    lazy val budget = ckpt.cut(
-      e.agg((lit(62) - coalesce(length(bin(sum(col("w")))), lit(0))).as("bud0"))
-        .select(when(col("bud0") >= 1, col("bud0"))
-          .otherwise(raise_error(lit(
-            "powerIterate: renormalization needs bitlen(sum(w)) <= 61; " +
-              "total edge weight leaves no rank headroom")))
-          .as("bud")))
+    lazy val budget = rankBudget(e, ckpt)
     var ranks = ckpt.cut(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
@@ -114,6 +102,63 @@ object Graph {
     ranks
   }
 
+  /** 1-row headroom budget: ranks may hold 62 − bitlen(Σw) bits. The
+    * scheme needs at least 1 bit of rank headroom, i.e. bitlen(Σw) ≤ 61
+    * (Σw itself a positive Long — a negative/overflowed total bins to 64
+    * chars and fails the same guard). Outside that envelope no shift
+    * schedule can keep the products exact, so fail loudly in-plan via
+    * raise_error rather than silently collapsing every rank to 0.
+    * Shared by [[powerIterate]] and [[seededRank]]. */
+  private def rankBudget(e: DataFrame, ckpt: CheckpointStrategy): DataFrame =
+    ckpt.cut(
+      e.agg((lit(62) - coalesce(length(bin(sum(col("w")))), lit(0))).as("bud0"))
+        .select(when(col("bud0") >= 1, col("bud0"))
+          .otherwise(raise_error(lit(
+            "powerIterate: renormalization needs bitlen(sum(w)) <= 61; " +
+              "total edge weight leaves no rank headroom")))
+          .as("bud")))
+
+  /** PERSONALIZED (seeded) relevance — the truncated Katz series
+    * Σ_{t≤iters} (Aᵀ)ᵗ·seed: mass starts on the seed set only, flows
+    * along weighted edges each round, and the seed re-injects one unit
+    * per round (the integer-exact analogue of PPR's restart term —
+    * a rational damping factor would break the bit-exact cross-engine
+    * contract, so the restart is additive, which preserves the
+    * "relevance to the seeds" ordering). Rounds renormalize exactly as
+    * [[powerIterate]] does (same budget, same power-of-two schedule
+    * from integer bit lengths, seed re-injection AFTER the shift so it
+    * enters at the fresh scale); the oracle replays the identical
+    * schedule. Per round: one shuffle matvec + two 1-row broadcast
+    * aggregates + a full-outer join against the (small) seed set —
+    * nothing proportional to the graph on one node. Nodes never
+    * reached by seed mass simply don't appear, so the frontier grows
+    * like BFS instead of materializing every node from round 0 —
+    * exactly what makes seeded relevance cheaper than global PR on a
+    * 100 TB graph. */
+  def seededRank(edges: DataFrame, iters: Int, seeds: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val e = ckpt.cut(edges)
+    lazy val budget = rankBudget(e, ckpt)
+    val s1 = seeds.select(col("node")).withColumn("s", lit(1L))
+    var ranks = ckpt.cut(seeds.select(col("node")).withColumn("r", lit(1L)))
+    for (_ <- 1 to iters) {
+      val raw = e
+        .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("r_src")).as("r"))
+      val cutRaw = ckpt.cut(raw)
+      val sh = cutRaw.crossJoin(budget)
+        .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
+      val shifted = cutRaw.crossJoin(broadcast(sh))
+        .select(col("node"), expr("shiftright(r, sh)").as("r"))
+      ranks = ckpt.cut(
+        shifted.join(s1, Seq("node"), "full_outer")
+          .select(col("node"),
+            (coalesce(col("r"), lit(0L)) + coalesce(col("s"), lit(0L))).as("r")))
+    }
+    ranks
+  }
+
   /** Trade edges staged once per session: both registered graph queries
     * (power rank, triangles) start from this artifact, whose INPUT is
     * the four-way fact join but whose output is at most |nations|²
@@ -126,6 +171,14 @@ object Graph {
     // Three exact integer matvec rounds over the nation trade graph.
     "graph_power_rank" -> ((s, dir) =>
       powerIterate(stagedTradeEdges(s, dir), 3)
+        .select(col("node"), col("r"))
+        .orderBy("node")),
+
+    // Seeded relevance from the 3 lexicographically-first nations.
+    "graph_seeded_rank" -> ((s, dir) =>
+      seededRank(stagedTradeEdges(s, dir), 3,
+        Tables.nation(s, dir).select(col("n_name").as("node"))
+          .orderBy("node").limit(3))
         .select(col("node"), col("r"))
         .orderBy("node")),
 
@@ -328,7 +381,37 @@ object Graph {
        |  SELECT node, CAST(r >> (SELECT sh FROM r${k}_sh) AS BIGINT) AS r
        |  FROM r${k}_raw)""".stripMargin
 
+  // Seeded round CTE quartet: raw matvec, shift, rescale, seed
+  // re-injection via full-outer join — powerIterate's schedule plus the
+  // additive restart, replayed exactly.
+  private def seededRoundCte(k: Int): String =
+    s"""s${k}_raw AS (
+       |  SELECT e.dst AS node, CAST(sum(e.w * s${k - 1}.r) AS BIGINT) AS r
+       |  FROM e JOIN s${k - 1} ON e.src = s${k - 1}.node
+       |  GROUP BY 1),
+       |s${k}_sh AS (
+       |  SELECT greatest(0, max(length(bin(r))) - (SELECT bud FROM bud)) AS sh
+       |  FROM s${k}_raw),
+       |s${k}_resc AS (
+       |  SELECT node, CAST(r >> (SELECT sh FROM s${k}_sh) AS BIGINT) AS r
+       |  FROM s${k}_raw),
+       |s$k AS (
+       |  SELECT COALESCE(x.node, sd.node) AS node,
+       |         CAST(COALESCE(x.r, 0)
+       |              + CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS r
+       |  FROM s${k}_resc x FULL OUTER JOIN seeds sd ON x.node = sd.node)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "graph_seeded_rank" ->
+      s"""WITH $edgeCte,
+         |bud AS (SELECT 62 - length(bin(CAST(sum(w) AS BIGINT))) AS bud FROM e),
+         |seeds AS (SELECT n_name AS node FROM nation ORDER BY n_name LIMIT 3),
+         |s0 AS (SELECT node, CAST(1 AS BIGINT) AS r FROM seeds),
+         |${seededRoundCte(1)},
+         |${seededRoundCte(2)},
+         |${seededRoundCte(3)}
+         |SELECT node, r FROM s3 ORDER BY node""".stripMargin,
+
     "graph_power_rank" ->
       s"""WITH $edgeCte,
          |bud AS (SELECT 62 - length(bin(CAST(sum(w) AS BIGINT))) AS bud FROM e),

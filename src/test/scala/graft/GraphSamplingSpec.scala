@@ -24,6 +24,19 @@ class GraphSamplingSpec extends SparkSpec {
     assert(r2 === Map("c" -> 6L))
   }
 
+  test("seededRank: truncated Katz on a chain — frontier grows one hop per round") {
+    import spark.implicits._
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    // r0={a:1}; each round pushes one hop and re-injects the seed:
+    // after 3 rounds mass has reached d, NOT e — the frontier property
+    // that makes seeded relevance cheaper than global PR
+    val r3 = Graph.seededRank(chain, 3, seeds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3 === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+  }
+
   test("powerIterate renormalization survives weights that wrap the raw kernel") {
     import spark.implicits._
     // 3-cycle with w = 2^21: the raw kernel's round-3 rank is (2^21)^3 =
