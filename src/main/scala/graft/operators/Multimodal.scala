@@ -85,6 +85,35 @@ object Multimodal {
             |             ELSE cast(0 as bigint) END) END""".stripMargin))
         .select(col("doc_id"), col("fp"))
 
+  /** Verified near-dup pairs over the aHash fingerprints: 4×15-bit LSH
+    * band candidates (per-band equality joins, never all-pairs), each
+    * surviving pair emitted exactly once at its FIRST agreeing band (a
+    * row-local predicate over the two fingerprints riding the join — no
+    * pair-level distinct, no join-backs), verified by one bit_count
+    * hamming ≤ 12. Shared by the pair query and the cluster query. */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = ahashFingerprints(s, dir)
+    val bands = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("fp"), 15 * b).bitwiseAND(32767).as("sig"))): _*)).as("e"))
+      .select(col("doc_id"), col("fp"), col("e.b").as("b"), col("e.sig").as("sig"))
+    def band(c: Column, b: Int): Column =
+      shiftright(c, 15 * b).bitwiseAND(32767)
+    val firstAgreeingBand = (0 until 4).map { bb =>
+      (col("b") === bb) && (0 until bb)
+        .map(p => band(col("fa"), p) =!= band(col("fb"), p))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    bands.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
+        col("b"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+        col("b"), col("sig")), Seq("b", "sig"))
+      .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("bigint"))
+      .filter(col("hamming") <= 12)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Declarative twin of decodeMeta (same arithmetic in pure columns) so
     // the binary plumbing is oracle-checked end to end. first_byte is the
@@ -121,28 +150,22 @@ object Multimodal {
     // is one bit_count on the already-joined fingerprints. The staged
     // fingerprint table is the artifact a production image-dedup job
     // persists between "hash the corpus" and "mine the pairs".
-    "multimodal_phash_neardup" -> ((s, dir) => {
-      val fp = ahashFingerprints(s, dir)
-      val bands = fp.select(col("doc_id"), col("fp"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-            shiftright(col("fp"), 15 * b).bitwiseAND(32767).as("sig"))): _*)).as("e"))
-        .select(col("doc_id"), col("fp"), col("e.b").as("b"), col("e.sig").as("sig"))
-      def band(c: Column, b: Int): Column =
-        shiftright(c, 15 * b).bitwiseAND(32767)
-      val firstAgreeingBand = (0 until 4).map { bb =>
-        (col("b") === bb) && (0 until bb)
-          .map(p => band(col("fa"), p) =!= band(col("fb"), p))
-          .foldLeft(lit(true))(_ && _)
-      }.reduce(_ || _)
-      bands.select(col("doc_id").as("doc_a"), col("fp").as("fa"),
-          col("b"), col("sig"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
-          col("b"), col("sig")), Seq("b", "sig"))
-        .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
-        .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("bigint"))
-        .filter(col("hamming") <= 12)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+    "multimodal_phash_neardup" -> ((s, dir) =>
+      phashPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // The shippable decision over the media pairs: connected components
+    // + canonical keep (cluster = transitive near-dup group, keep = the
+    // cluster's min doc_id) — the multimodal arm of
+    // dedup_keep_canonical, composed from the same CC primitive so the
+    // two dedup families cannot diverge in cluster semantics.
+    "multimodal_phash_clusters" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(phashPairs(s, dir))
+      Tables.documents(s, dir).select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
     }),
 
     // Frame sampling — the video-pipeline shape: chop each blob into
@@ -171,6 +194,46 @@ object Multimodal {
     })
   )
 
+  /** aHash pair CTE chain shared by the pair and cluster oracles;
+    * final CTE is ppairs(doc_a, doc_b, hamming). */
+  private val phashPairCtes: String =
+    """hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS nb FROM documents),
+      |sl AS (SELECT doc_id, h, nb, greatest(1, (nb + 59) // 60) AS bl FROM hx),
+      |arrs AS (
+      |  SELECT doc_id, nb,
+      |    list_transform(range(0,60), i ->
+      |      list_sum(list_transform(range(0,bl), j -> CASE WHEN i*bl+j < nb THEN
+      |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+1,1))-1)*16 +
+      |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+2,1))-1) ELSE NULL END))) AS ss,
+      |    list_transform(range(0,60), i ->
+      |      len(list_filter(range(0,bl), j -> i*bl+j < nb))) AS cc
+      |  FROM sl),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nb = 0 THEN 0 ELSE
+      |      CAST(list_sum(list_transform(range(0,60), i ->
+      |        CASE WHEN cc[i+1] > 0 AND CAST(ss[i+1] AS DOUBLE)/cc[i+1] >
+      |          CAST(list_sum(list_filter(ss, x -> x IS NOT NULL)) AS DOUBLE)/nb
+      |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) END AS fp
+      |  FROM arrs),
+      |bands AS (
+      |  SELECT doc_id, fp, t.b,
+      |         (fp >> (15*CAST(t.b AS INTEGER))) & 32767 AS sig
+      |  FROM fp, range(4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bands a JOIN bands b2
+      |    ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+      |ppairs AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN fp fa ON c.doc_a = fa.doc_id
+      |  JOIN fp fb ON c.doc_b = fb.doc_id
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)""".stripMargin
+
   // first_byte = raw first UTF-8 byte via hex digits (DuckDB has no
   // direct blob[0] → int), matching Spark's conv(substr(hex(blob),1,2))
   private val metaSql =
@@ -190,42 +253,25 @@ object Multimodal {
     // sums and thresholds — see ahashFingerprints); candidate pairs via
     // DISTINCT band join (values equal to the canonical-band emission)
     "multimodal_phash_neardup" ->
-      """WITH hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS nb FROM documents),
-        |sl AS (SELECT doc_id, h, nb, greatest(1, (nb + 59) // 60) AS bl FROM hx),
-        |arrs AS (
-        |  SELECT doc_id, nb,
-        |    list_transform(range(0,60), i ->
-        |      list_sum(list_transform(range(0,bl), j -> CASE WHEN i*bl+j < nb THEN
-        |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+1,1))-1)*16 +
-        |        (strpos('0123456789ABCDEF', substr(h,(i*bl+j)*2+2,1))-1) ELSE NULL END))) AS ss,
-        |    list_transform(range(0,60), i ->
-        |      len(list_filter(range(0,bl), j -> i*bl+j < nb))) AS cc
-        |  FROM sl),
-        |fp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nb = 0 THEN 0 ELSE
-        |      CAST(list_sum(list_transform(range(0,60), i ->
-        |        CASE WHEN cc[i+1] > 0 AND CAST(ss[i+1] AS DOUBLE)/cc[i+1] >
-        |          CAST(list_sum(list_filter(ss, x -> x IS NOT NULL)) AS DOUBLE)/nb
-        |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) END AS fp
-        |  FROM arrs),
-        |bands AS (
-        |  SELECT doc_id, fp, t.b,
-        |         (fp >> (15*CAST(t.b AS INTEGER))) & 32767 AS sig
-        |  FROM fp, range(4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |  FROM bands a JOIN bands b2
-        |    ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-        |FROM cand c
-        |JOIN fp fa ON c.doc_a = fa.doc_id
-        |JOIN fp fb ON c.doc_b = fb.doc_id
-        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $phashPairCtes
+         |SELECT doc_a, doc_b, hamming FROM ppairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "multimodal_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM ppairs
+         |        UNION ALL SELECT doc_b, doc_a FROM ppairs),
+         |reach(doc, root) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.doc),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT d.doc_id,
+         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH hx AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
