@@ -502,6 +502,38 @@ object Relational {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // SALTED REPLICATE JOIN — the static hot-key join cure (AQE's
+    // skew-join split is the runtime one, SkewSpec covers it; this is
+    // the technique for when skew is KNOWN up front and the build side
+    // can't broadcast): the probe side salts its join key S=8 ways
+    // (deterministic crc32 of the row key, so results replay), the
+    // build side replicates once per salt, and the join runs on
+    // (key, salt) — a hot key's rows now land on 8 partitions instead
+    // of one straggler. hint("merge") pins the sort-merge path so the
+    // salted exchange is the plan being demonstrated (and audited:
+    // PlanAuditSpec asserts the join keys include the salt), rather
+    // than a broadcast that would make salting moot at test scale.
+    // Same oracle as the plain join+agg — salting must be invisible in
+    // the result.
+    "join_salted_replicate" -> ((s, dir) => {
+      val S = 8
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .withColumn("salt",
+          pmod(crc32(concat(col("o_custkey").cast("string"), lit(":"),
+            col("o_totalprice").cast("string"))), lit(S.toLong)))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          explode(sequence(lit(0L), lit(S - 1L))).as("salt"))
+      orders.hint("merge")
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          orders("salt") === cust("salt"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"), rsum2(col("o_totalprice")).as("total"))
+        .orderBy(desc("n_orders"), col("c_custkey"))
+        .limit(10)
+    }),
+
     // EXISTS → left-semi: orders with at least one high-quantity item.
     "join_semi" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48.0)
@@ -1132,6 +1164,12 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "join_salted_replicate" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

@@ -226,6 +226,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("salted replicate join partitions on (key, salt), not the bare hot key") {
+    // the whole point of static salting: the exchange feeding the join
+    // must hash on BOTH the key and the salt so a hot key's rows spread
+    // over S partitions; a bare-key exchange (or a broadcast) would
+    // silently undo the technique
+    val p = plan("join_salted_replicate")
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(joins.nonEmpty, s"salted join should not broadcast:\n$p")
+    assert(joins.exists(l => l.contains("salt") && l.contains("custkey")),
+      s"join keys must include the salt:\n${joins.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("CDC merge compacts both sides map-side and joins on the key") {
     // both changelog halves must compact through WindowGroupLimit
     // (one row per key forwarded per task, never a key's history) and
