@@ -156,10 +156,15 @@ object Multimodal {
     // The shippable decision over the media pairs: connected components
     // + canonical keep (cluster = transitive near-dup group, keep = the
     // cluster's min doc_id) — the multimodal arm of
-    // dedup_keep_canonical, composed from the same CC primitive so the
-    // two dedup families cannot diverge in cluster semantics.
+    // dedup_keep_canonical, composed from the shared CC primitives so
+    // the two dedup families cannot diverge in cluster semantics. Uses
+    // the large-star/small-star variant: the aHash near-dup graph
+    // CHAINS (gradually-edited variants link A−B−C−…, diameter 15+ at
+    // sf0.1), so min-label propagation's O(diameter) rounds lose to
+    // star's O(log² n) — 16 min-label rounds on this corpus, and the
+    // swap measured 5.6 → 3.0 s isolated steady at sf0.1.
     "multimodal_phash_clusters" -> ((s, dir) => {
-      val clusters = Dedup.connectedComponents(phashPairs(s, dir))
+      val clusters = Dedup.connectedComponentsStar(phashPairs(s, dir))
       Tables.documents(s, dir).select("doc_id")
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
