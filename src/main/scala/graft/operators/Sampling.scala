@@ -23,7 +23,64 @@ object Sampling {
   private def rsum2(c: org.apache.spark.sql.Column) =
     graft.functions.Decimals.rsum2(c)
 
+  /** Poisson(1) CDF thresholds at 2^60 scale (floor(c_k · 2^60), exact
+    * integer literals shared verbatim with the oracle): a uniform
+    * 60-bit hash draw inverts to the bootstrap resampling weight
+    * 0,1,…,5 (tail ≥ 6, p ≈ 6e-4, truncates to 6). */
+  private val PoissonCdf60 = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BOOTSTRAP confidence interval — metric uncertainty without
+    // randomness: the Poisson bootstrap (each row enters replica b with
+    // weight ~ Poisson(1)) made fully deterministic by drawing the
+    // weight from the portable 60-bit hash of (replica, row key)
+    // against exact integer CDF thresholds, so every engine and every
+    // re-run draws the identical resample. B=32 replica means of
+    // l_extendedprice; the CI is the 2nd/31st order statistic (≈ 90%
+    // interval). Scale shape: the 32× row fan-out NEVER shuffles — it
+    // feeds a partial aggregate, so the exchange carries 32 rows of
+    // decimal sums per task regardless of corpus size (compute-heavy,
+    // shuffle-trivial — the right trade at 100 TB), and the order
+    // statistic sorts a 32-element array on one row. Replica means are
+    // exact-decimal sums divided once in IEEE doubles — bit-identical
+    // cross-engine, so even the sort order of means replays.
+    "sample_bootstrap_ci" -> ((s, dir) => {
+      val B = 32
+      // price as integer cents (floor(x·100): the same IEEE multiply
+      // both engines run) so every sum is exact and each replica mean
+      // is ONE double division of two exact integers — bit-identical
+      // cross-engine, no decimal→double conversion in the path
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val thr = PoissonCdf60
+      val weighted = li
+        .select(col("l_orderkey"), col("l_linenumber"), col("cents"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h", PortableHash.hash60(concat(
+          col("b").cast("string"), lit(":"), col("l_orderkey").cast("string"),
+          lit(":"), col("l_linenumber").cast("string"))))
+        .withColumn("w",
+          when(col("h") < thr(0), 0L).when(col("h") < thr(1), 1L)
+            .when(col("h") < thr(2), 2L).when(col("h") < thr(3), 3L)
+            .when(col("h") < thr(4), 4L).when(col("h") < thr(5), 5L)
+            .otherwise(6L))
+      val means = weighted.groupBy("b")
+        .agg((sum((col("cents") * col("w")).cast("decimal(38,0)")).cast("double") /
+          (sum(col("w")) * 100).cast("double")).as("m"))
+      val full = li.agg(
+        (sum(col("cents").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)) * 100).cast("double")).as("mean_price"))
+      means.agg(sort_array(collect_list(col("m"))).as("ms"))
+        .crossJoin(full)
+        .select(round(col("mean_price"), 4).as("mean_price"),
+          round(col("ms")(1), 4).as("ci_lo"),
+          round(col("ms")(30), 4).as("ci_hi"),
+          lit(B.toLong).as("n_replicas"))
+    }),
 
     // 80/10/10 split assignment + per-stratum audit: event counts and
     // value mass per (event_type, split) prove the split is unbiased
@@ -220,6 +277,37 @@ object Sampling {
   private val bucketSql = s"${PortableHash.sql("CAST(event_id AS VARCHAR)")} % 100"
 
   def oracles: Map[String, String] = Map(
+    "sample_bootstrap_ci" -> {
+      val h = PortableHash.sql(
+        "CAST(t.b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+      val thr = PoissonCdf60
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |ww AS (
+         |  SELECT cents, t.b,
+         |         CASE WHEN $h < ${thr(0)} THEN 0
+         |              WHEN $h < ${thr(1)} THEN 1
+         |              WHEN $h < ${thr(2)} THEN 2
+         |              WHEN $h < ${thr(3)} THEN 3
+         |              WHEN $h < ${thr(4)} THEN 4
+         |              WHEN $h < ${thr(5)} THEN 5
+         |              ELSE 6 END AS w
+         |  FROM li, range(32) t(b)),
+         |means AS (
+         |  SELECT b, CAST(sum(cents * w) AS DOUBLE)
+         |            / CAST(100 * sum(w) AS DOUBLE) AS m
+         |  FROM ww GROUP BY b),
+         |ms AS (SELECT list_sort(list(m)) AS l FROM means),
+         |f AS (SELECT CAST(sum(cents) AS DOUBLE)
+         |             / CAST(100 * count(*) AS DOUBLE) AS mean_price FROM li)
+         |SELECT round(f.mean_price, 4) AS mean_price,
+         |       round(ms.l[2], 4) AS ci_lo, round(ms.l[31], 4) AS ci_hi,
+         |       CAST(32 AS BIGINT) AS n_replicas
+         |FROM ms, f""".stripMargin
+    },
+
     "sample_hash_split" ->
       s"""SELECT event_type,
          |       CASE WHEN $bucketSql < 80 THEN 'train'

@@ -24,6 +24,16 @@ class GraphSamplingSpec extends SparkSpec {
     assert(r2 === Map("c" -> 6L))
   }
 
+  test("bootstrap CI: deterministic draw brackets the exact mean, interval nonzero") {
+    val r = SparkEntry.queries("sample_bootstrap_ci")(spark, sf0001).collect()(0)
+    val m = r.getAs[Double]("mean_price")
+    val lo = r.getAs[Double]("ci_lo")
+    val hi = r.getAs[Double]("ci_hi")
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_replicas") === 32L)
+  }
+
   test("seededRank: truncated Katz on a chain — frontier grows one hop per round") {
     import spark.implicits._
     val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
