@@ -573,6 +573,43 @@ object TextAnalysis {
     "text_inverted_index" -> ((s, dir) =>
       invertedIndex(s, dir).orderBy("term", "block")),
 
+    // CO-OCCURRENCE (PMI-shaped) pair mining — which token pairs appear
+    // in the same documents far more than chance: the association score
+    // every corpus-linguistics / tokenizer-diagnostics pass wants.
+    // Score = c_ab·N / (c_a·c_b) in ppm, computed in STAGED integer
+    // divisions ((c_ab·10⁶ div c_a)·N div c_b) so the largest
+    // intermediate is 10⁶·N — overflow-safe to trillion-doc corpora
+    // where the naive single product c_ab·N·10⁶ wraps at ~10⁵ docs.
+    // log-free on purpose: log drifts in the last ulp across engines,
+    // a staged rational replays exactly and ranks monotonically. Pair
+    // generation is ROW-LOCAL: each doc's distinct-token array (capped
+    // at 64 — the bound that keeps the k² fan-out fixed no matter how
+    // long documents get) expands to ordered pairs via nested
+    // transform, so nothing shuffles until the pair/unigram counts —
+    // two bounded-key aggregations and one vocabulary-sized join.
+    "text_cooccur_pmi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksArr = docs.select(col("doc_id"), expr(
+        "slice(array_sort(array_distinct(filter(split(text, ' ', -1), x -> x <> ''))), 1, 64)")
+        .as("ts"))
+      val pairs = toksArr.select(explode(expr(
+          "filter(flatten(transform(ts, x -> transform(ts, y -> named_struct('a', x, 'b', y)))), s -> s.a < s.b)"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = toksArr.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      cab.join(ca.select(col("t").as("a"), col("c").as("c_a")), "a")
+        .join(ca.select(col("t").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ppm",
+          expr("((c_ab * 1000000) div c_a) * n_docs div c_b"))
+        .orderBy(desc("pmi_ppm"), col("a"), col("b"))
+        .limit(20)
+        .select("a", "b", "c_ab", "c_a", "c_b", "pmi_ppm")
+    }),
+
     // Decontamination-style PHRASE PROBE against the staged index — the
     // read path that justifies building the artifact: a deterministic
     // "benchmark" phrase set (the opening bigram of every 25th doc)
@@ -905,6 +942,25 @@ object TextAnalysis {
     "text_inverted_index" ->
       s"""WITH $invIndexCtes
          |SELECT * FROM idx ORDER BY term, block""".stripMargin,
+
+    "text_cooccur_pmi" ->
+      """WITH ta AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))[1:64] AS ts
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.t AS a, b.t AS b, count(*) AS c_ab
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM ta) a
+        |  JOIN (SELECT doc_id, unnest(ts) AS t FROM ta) b
+        |    ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT t, count(*) AS c
+        |       FROM (SELECT unnest(ts) AS t FROM ta) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT p.a, p.b, p.c_ab, xa.c AS c_a, xb.c AS c_b,
+        |       CAST(((p.c_ab * 1000000) // xa.c) * n.n_docs // xb.c AS BIGINT) AS pmi_ppm
+        |FROM pairs p JOIN ca xa ON p.a = xa.t JOIN ca xb ON p.b = xb.t, n
+        |ORDER BY pmi_ppm DESC, p.a, p.b LIMIT 20""".stripMargin,
 
     "text_phrase_search" ->
       s"""WITH $invIndexCtes,
