@@ -23,22 +23,22 @@ object Sampling {
   private def rsum2(c: org.apache.spark.sql.Column) =
     graft.functions.Decimals.rsum2(c)
 
-  /** Poisson(1) CDF thresholds at 2^60 scale (floor(c_k · 2^60), exact
+  /** Poisson(1) CDF thresholds at 2^16 scale (floor(c_k · 65536), exact
     * integer literals shared verbatim with the oracle): a uniform
-    * 60-bit hash draw inverts to the bootstrap resampling weight
-    * 0,1,…,5 (tail ≥ 6, p ≈ 6e-4, truncates to 6). */
-  private val PoissonCdf60 = Seq(
-    424136118829305344L, 848272237658610688L, 1060340297073263360L,
-    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+    * 16-bit draw inverts to the bootstrap resampling weight 0,1,…,5
+    * (tail ≥ 6, p ≈ 6e-4, truncates to 6; 16-bit quantization biases
+    * the weight distribution by < 2e-5 — negligible against the
+    * bootstrap's own sampling noise). */
+  private val PoissonCdf16 = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BOOTSTRAP confidence interval — metric uncertainty without
     // randomness: the Poisson bootstrap (each row enters replica b with
-    // weight ~ Poisson(1)) made fully deterministic by drawing the
-    // weight from the portable 60-bit hash of (replica, row key)
-    // against exact integer CDF thresholds, so every engine and every
-    // re-run draws the identical resample. B=32 replica means of
+    // weight ~ Poisson(1)) made fully deterministic by drawing each
+    // replica's weight from a 16-bit md5 slice of (replica-group, row
+    // key) against exact integer CDF thresholds, so every engine and
+    // every re-run draws the identical resample. B=32 replica means of
     // l_extendedprice; the CI is the 2nd/31st order statistic (≈ 90%
     // interval). Scale shape: the 32× row fan-out NEVER shuffles — it
     // feeds a partial aggregate, so the exchange carries 32 rows of
@@ -56,30 +56,41 @@ object Sampling {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           floor(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val thr = PoissonCdf60
-      val weighted = li
-        .select(col("l_orderkey"), col("l_linenumber"), col("cents"),
-          explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("h", PortableHash.hash60(concat(
-          col("b").cast("string"), lit(":"), col("l_orderkey").cast("string"),
-          lit(":"), col("l_linenumber").cast("string"))))
-        .withColumn("w",
-          when(col("h") < thr(0), 0L).when(col("h") < thr(1), 1L)
-            .when(col("h") < thr(2), 2L).when(col("h") < thr(3), 3L)
-            .when(col("h") < thr(4), 4L).when(col("h") < thr(5), 5L)
-            .otherwise(6L))
-      val means = weighted.groupBy("b")
-        .agg((sum((col("cents") * col("w")).cast("decimal(38,0)")).cast("double") /
-          (sum(col("w")) * 100).cast("double")).as("m"))
-      val full = li.agg(
-        (sum(col("cents").cast("decimal(38,0)")).cast("double") /
-          (count(lit(1)) * 100).cast("double")).as("mean_price"))
-      means.agg(sort_array(collect_list(col("m"))).as("ms"))
-        .crossJoin(full)
-        .select(round(col("mean_price"), 4).as("mean_price"),
-          round(col("ms")(1), 4).as("ci_lo"),
-          round(col("ms")(30), 4).as("ci_hi"),
-          lit(B.toLong).as("n_replicas"))
+      val thr = PoissonCdf16
+      // NO row fan-out at all: 4 md5s per row computed once, then the
+      // 32 replica weights become 64 parallel aggregates (Σ cents·w_b,
+      // Σ w_b) in ONE partial-agg pass — the corpus is read once, no
+      // 32× explode ever materializes, the exchange carries a single
+      // 66-column partial row per task, and the order statistic sorts a
+      // 32-element array on one row. (The exploded formulation measured
+      // 20.8 s at sf0.1 — 19.2M per-replica md5s; the hoisted+columnar
+      // form reads the same draws out of 4 md5s per row.)
+      val hashed = li
+        .withColumn("hs", expr(
+          """transform(sequence(0, 3), i -> md5(concat(
+            |  cast(i as string), ':', cast(l_orderkey as string), ':',
+            |  cast(l_linenumber as string))))""".stripMargin))
+        // all 32 weights materialize once per row in a single array
+        // projection (one conv per draw); the aggregates below are
+        // plain ws[b] element reads, never a re-derivation
+        .withColumn("ws", expr(
+          s"""transform(sequence(0, ${B - 1}), b ->
+             |  size(filter(array(${thr.mkString(", ")}), t ->
+             |    t <= cast(conv(substring(hs[b div 8], (b % 8) * 4 + 1, 4), 16, 10) as bigint))))""".stripMargin))
+      val aggs = (0 until B).flatMap(b => Seq(
+        sum(expr(s"cast(cents * ws[$b] as decimal(38,0))")).as(s"cw$b"),
+        sum(expr(s"ws[$b]")).as(s"sw$b"))) ++ Seq(
+        sum(col("cents").cast("decimal(38,0)")).as("sc"),
+        count(lit(1)).as("n"))
+      val row = hashed.agg(aggs.head, aggs.tail: _*)
+      val means = array((0 until B).map(b =>
+        col(s"cw$b").cast("double") / (col(s"sw$b") * 100).cast("double")): _*)
+      row.select(
+        round(col("sc").cast("double") / (col("n") * 100).cast("double"), 4)
+          .as("mean_price"),
+        round(sort_array(means)(1), 4).as("ci_lo"),
+        round(sort_array(means)(30), 4).as("ci_hi"),
+        lit(B.toLong).as("n_replicas"))
     }),
 
     // 80/10/10 split assignment + per-stratum audit: event counts and
@@ -278,9 +289,16 @@ object Sampling {
 
   def oracles: Map[String, String] = Map(
     "sample_bootstrap_ci" -> {
-      val h = PortableHash.sql(
-        "CAST(t.b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
-      val thr = PoissonCdf60
+      // 16-bit draw: 4 hex chars of md5(b//8 : key) at offset (b%8)*4+1
+      // — the same slicing the Spark side runs (values identical; the
+      // oracle just doesn't bother hoisting the md5 above the fan-out)
+      def hex4(s: String, off: String) = (0 until 4).map(k =>
+        s"(strpos('0123456789abcdef', substr($s, ($off) + $k, 1)) - 1) * ${1L << (4 * (3 - k))}")
+        .mkString("(", " + ", ")")
+      val h = hex4(
+        "md5(CAST(t.b // 8 AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))",
+        "(t.b % 8) * 4 + 1")
+      val thr = PoissonCdf16
       s"""WITH li AS (
          |  SELECT l_orderkey, l_linenumber,
          |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
