@@ -179,7 +179,22 @@ object Clustering {
     // entire steady-state write path of an IVF store.)
     "ann_ivf_upsert" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val split = emb.agg(expr("cast((count(1) * 4) div 5 as bigint)").as("s"))
+      // GUARD: training on the base slice seeds centroids from vec_id
+      // CentBase..CentBase+k-1 (k = greatest(MinK, floor(sqrt(0.8N)))).
+      // If the slice ends before the seed range does, the centroid set
+      // would be silently empty and every assignment would vanish with
+      // no error — fail loudly in-plan instead (same pattern as
+      // powerIterate's budget guard and microQuant's overflow guard).
+      val split = emb.agg(expr("cast((count(1) * 4) div 5 as bigint)").as("s0"))
+        .select(when(
+          col("s0") >= lit(CentBase.toLong) + greatest(lit(MinK.toLong),
+            floor(sqrt(col("s0").cast("double"))).cast("long")),
+          col("s0"))
+          .otherwise(raise_error(concat(
+            lit("ann_ivf_upsert: base slice too small to cover centroid seeds "),
+            lit(s"(need >= $CentBase + k rows, have "), col("s0").cast("string"),
+            lit(")"))).cast("long"))
+          .as("s"))
       val base = emb.crossJoin(broadcast(split))
         .filter(col("vec_id") < col("s")).select("vec_id", "embedding")
       val (_, cents1) = trainedOn(base)

@@ -517,11 +517,15 @@ object Relational {
     // the result.
     "join_salted_replicate" -> ((s, dir) => {
       val S = 8
+      // salt hashes a row-UNIQUE key (o_orderkey): salting on a value
+      // column (totalprice) would collapse a hot custkey's duplicate
+      // values onto one salt partition — exactly the duplicate-heavy
+      // case salting exists to spread
       val orders = Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_totalprice"))
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
         .withColumn("salt",
-          pmod(crc32(concat(col("o_custkey").cast("string"), lit(":"),
-            col("o_totalprice").cast("string"))), lit(S.toLong)))
+          pmod(crc32(col("o_orderkey").cast("string")), lit(S.toLong)))
+        .drop("o_orderkey")
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey"),
           explode(sequence(lit(0L), lit(S - 1L))).as("salt"))

@@ -53,44 +53,79 @@ object Sampling {
       // both engines run) so every sum is exact and each replica mean
       // is ONE double division of two exact integers — bit-identical
       // cross-engine, no decimal→double conversion in the path
+      // REBALANCE before the compute-heavy fan-out: the downstream work
+      // (4 md5 + 32 conv + 32 agg updates ≈ 2 µs/row) is ~60× the cost
+      // of shuffling this 24-byte projection, so one narrow hash
+      // exchange buys full-cluster parallelism even when the source
+      // collapses to few splits (a single-row-group file here; at
+      // 100 TB it also evens out ragged scan splits for ~1% overhead)
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("l_orderkey"))
       val thr = PoissonCdf16
-      // NO row fan-out at all: 4 md5s per row computed once, then the
-      // 32 replica weights become 64 parallel aggregates (Σ cents·w_b,
-      // Σ w_b) in ONE partial-agg pass — the corpus is read once, no
-      // 32× explode ever materializes, the exchange carries a single
-      // 66-column partial row per task, and the order statistic sorts a
-      // 32-element array on one row. (The exploded formulation measured
-      // 20.8 s at sf0.1 — 19.2M per-replica md5s; the hoisted+columnar
-      // form reads the same draws out of 4 md5s per row.)
-      val hashed = li
-        .withColumn("hs", expr(
-          """transform(sequence(0, 3), i -> md5(concat(
-            |  cast(i as string), ':', cast(l_orderkey as string), ':',
-            |  cast(l_linenumber as string))))""".stripMargin))
-        // all 32 weights materialize once per row in a single array
-        // projection (one conv per draw); the aggregates below are
-        // plain ws[b] element reads, never a re-derivation
-        .withColumn("ws", expr(
-          s"""transform(sequence(0, ${B - 1}), b ->
-             |  size(filter(array(${thr.mkString(", ")}), t ->
-             |    t <= cast(conv(substring(hs[b div 8], (b % 8) * 4 + 1, 4), 16, 10) as bigint))))""".stripMargin))
-      val aggs = (0 until B).flatMap(b => Seq(
-        sum(expr(s"cast(cents * ws[$b] as decimal(38,0))")).as(s"cw$b"),
-        sum(expr(s"ws[$b]")).as(s"sw$b"))) ++ Seq(
-        sum(col("cents").cast("decimal(38,0)")).as("sc"),
+      // Hoist the 4 md5s per row BELOW a generator, then fan out: the
+      // hs projection sits under Generate(explode(sequence(0,31))), and
+      // a generator is a projection-collapse barrier — Catalyst cannot
+      // re-inline the md5s into the per-replica weight math above it
+      // (the round-7 regression: 64 agg exprs each re-derived the full
+      // weight array per row, 20.8 s → 460 s; PlanAuditSpec now pins
+      // "≤ 4 md5 evals per row" against the physical plan). The 32×
+      // fan-out carries only (cents, hs, b) to a cheap substring/conv
+      // per replica, feeds a partial aggregate on b, and the exchange
+      // still moves just 32 partial rows per task regardless of corpus
+      // size; the order statistic sorts a 32-element array on one row.
+      // four PLAIN md5 columns (not a transform array): every expression
+      // in the hot path — md5/concat, substring/conv, CASE — has doGenCode,
+      // so scan → hash → Generate → weight → partial agg is ONE
+      // WholeStageCodegen span (higher-order transform/filter lambdas are
+      // interpreted-only and cost ~4× the whole query at 19M rows)
+      val hashCols = (0 until 4).map(i => md5(expr(
+        s"concat('$i:', cast(l_orderkey as string), ':', cast(l_linenumber as string))"))
+        .as(s"h$i"))
+      // 16-bit draw for replica b: 4 hex chars of h(b div 8) at offset
+      // (b%8)*4+1 — identical slicing to the oracle. All 32 draws go
+      // into one plain (lambda-free) array per row, each conv written
+      // exactly once, so the exploded rows carry only (cents, b, d) —
+      // 24 bytes, no md5 strings duplicated 32× through the Generate,
+      // and the Generate is a projection-collapse barrier: the md5s can
+      // never be re-inlined into per-replica math above it (the round-7
+      // regression, 20.8 s → 460 s; PlanAuditSpec pins ≤ 4 md5s in the
+      // physical plan). A 64-parallel-aggregate no-fanout twin was
+      // measured SLOWER (2.8–14 s vs 1.5 s at sf0.1): its fused
+      // 64-slot codegen function exceeds JIT limits, while this shape
+      // keeps every stage in small, hot whole-stage-codegen loops.
+      val draws = (0 until B).map(b => expr(
+        s"cast(conv(substring(h${b / 8}, ${(b % 8) * 4 + 1}, 4), 16, 10) as bigint)"))
+      val wCase = thr.zipWithIndex
+        .map { case (t, i) => s"WHEN d < $t THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${thr.size} END")
+      val exploded = li
+        .select((col("cents") +: hashCols): _*)
+        .select(col("cents"), posexplode(array(draws: _*)).as(Seq("b", "d")))
+        .withColumn("w", expr(wCase))
+      // one scan: sum(cents)/count per b-group are each the full-corpus
+      // totals (every row lands in all 32 groups), so the grand mean
+      // rides the same aggregate instead of a second pass. Sums stay in
+      // LONG: exact (no float ordering) and far from overflow — total
+      // cents would have to pass 2^63 ≈ $92 quadrillion before the
+      // decimal(38,0) formulation becomes necessary
+      val perB = exploded.groupBy("b").agg(
+        sum(expr("cents * w")).as("cw"),
+        sum(col("w")).as("sw"),
+        sum(col("cents")).as("sc"),
         count(lit(1)).as("n"))
-      val row = hashed.agg(aggs.head, aggs.tail: _*)
-      val means = array((0 until B).map(b =>
-        col(s"cw$b").cast("double") / (col(s"sw$b") * 100).cast("double")): _*)
-      row.select(
-        round(col("sc").cast("double") / (col("n") * 100).cast("double"), 4)
-          .as("mean_price"),
-        round(sort_array(means)(1), 4).as("ci_lo"),
-        round(sort_array(means)(30), 4).as("ci_hi"),
-        lit(B.toLong).as("n_replicas"))
+      perB.agg(
+        sort_array(collect_list(
+          col("cw").cast("double") / (col("sw") * 100).cast("double"))).as("l"),
+        min("sc").as("sc"), min("n").as("n"))
+        .select(
+          round(col("sc").cast("double") / (col("n") * 100).cast("double"), 4)
+            .as("mean_price"),
+          round(col("l")(1), 4).as("ci_lo"),
+          round(col("l")(30), 4).as("ci_hi"),
+          lit(B.toLong).as("n_replicas"))
     }),
 
     // 80/10/10 split assignment + per-stratum audit: event counts and

@@ -23,8 +23,10 @@ import graft.sources.VersionedStore
   * fold, and overwrites its own output version. foreachBatch's
   * at-least-once becomes idempotent without any transactional sink,
   * and every intermediate snapshot stays readable (time travel per
-  * batch). The seed snapshot lands at v=0 on every start; the caller
-  * contract is a deterministic seed, making the re-write a no-op.
+  * batch). The seed snapshot lands at v=0 only if v=0 does not exist
+  * yet: a checkpoint restart mid-stream must never rewrite history
+  * (a changed seed would silently fork it, and a crash during the
+  * rewrite would leave v=0 half-written under readable later versions).
   */
 object CdcApply {
 
@@ -55,7 +57,10 @@ object CdcApply {
   def start(spark: SparkSession, template: DataFrame, seedState: DataFrame,
             inDir: String, outBase: String, checkpointDir: String,
             maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    VersionedStore.writeBatch(seedState, outBase, -1L): Unit // v=0, pre-state of batch 0
+    // seed v=0 (pre-state of batch 0) exactly once — on restart the
+    // existing immutable v=0 wins and the supplied seed is ignored
+    if (!VersionedStore.listVersions(outBase).contains(0L))
+      VersionedStore.writeBatch(seedState, outBase, -1L): Unit
     spark.readStream
       .schema(template.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -53,10 +53,14 @@ class CompactionSpec extends SparkSpec {
     val plc = plan.collect()
     val byTypeBin = plc.groupBy(r =>
       (r.getAs[String]("event_type"), r.getAs[Long]("bin")))
-    val dayOrder = plc.map(_.getAs[String]("day")).distinct.sorted
+    // contiguity is judged against THAT event_type's own day list (the
+    // planner's window partitions by event_type): a day present globally
+    // but absent for one type must not read as a gap in that type's bins
+    val dayOrderByType = plc.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rows) => t -> rows.map(_.getAs[String]("day")).distinct.sorted }
     byTypeBin.foreach { case ((t, b), rows) =>
       val days = rows.map(_.getAs[String]("day")).sorted
-      val idx = days.map(d => dayOrder.indexOf(d))
+      val idx = days.map(d => dayOrderByType(t).indexOf(d))
       assert(idx.max - idx.min === idx.length - 1,
         s"bin ($t,$b) days not contiguous: ${days.mkString(",")}")
     }

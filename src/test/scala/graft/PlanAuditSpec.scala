@@ -354,4 +354,22 @@ class PlanAuditSpec extends SparkSpec {
         s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("bootstrap CI evaluates at most 4 md5s per row (hoist survives the optimizer)") {
+    // Round-7 regression guard: the 'hoisted' weight array was re-inlined
+    // by CollapseProject into 64 aggregate expressions, re-deriving the 4
+    // md5s + 32 conv/filter evals PER AGGREGATE PER ROW (20.8 s → 460 s
+    // at sf0.1). The fix parks the md5 transform under a Generate (a
+    // projection-collapse barrier); this pins that shape: the optimized
+    // plan may mention md5 at most 4 times (one transform lambda ≡ one
+    // textual md5; 4 is headroom for a formulation with one call per
+    // hash), and the fan-out must be a Generate feeding a partial agg,
+    // never 64 independent agg expressions over re-derived arrays.
+    val p = plan("sample_bootstrap_ci")
+    val md5Count = "md5".r.findAllIn(p).size
+    assert(md5Count <= 4, s"md5 appears $md5Count times in the physical plan " +
+      s"(the optimizer re-inlined the hoisted hash array):\n$p")
+    assert(p.contains("Generate"), s"bootstrap fan-out must be a Generate:\n$p")
+    assert(p.contains("partial"), s"missing map-side partial agg:\n$p")
+  }
 }
