@@ -610,6 +610,47 @@ object TextAnalysis {
         .select("a", "b", "c_ab", "c_a", "c_b", "pmi_ppm")
     }),
 
+    // WINDOWED PMI co-occurrence (±4 tokens) — the form real PMI mining
+    // uses: association is local (collocations live within a few
+    // tokens), and the fan-out is n·K per doc — LINEAR in document
+    // length, so unlike the whole-doc variant above no vocabulary slice
+    // is needed and long documents contribute their full statistics
+    // (the whole-doc query's 64-token cap is its documented k²-bound
+    // trade; this query is the uncapped path). Pair generation is
+    // row-local (indexed transform over the token array, offsets 1..K,
+    // canonical (min,max) orientation, self-pairs dropped); counts are
+    // token INSTANCES, and the score is the same staged integer ppm
+    // rational — ((c_ab·10⁶ div c_a)·T div c_b, bounded by 10⁶·K·T —
+    // so both engines replay it exactly, log-free.
+    "text_cooccur_pmi_window" -> ((s, dir) => {
+      val K = 4
+      val ws = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' ', -1), x -> x <> '')").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          s"""filter(flatten(transform(sequence(0, size(ws) - 2), i ->
+             |  transform(sequence(1, $K), o ->
+             |    IF(i + o <= size(ws) - 1 AND ws[i] <> ws[i + o],
+             |       named_struct(
+             |         'a', IF(ws[i] <= ws[i + o], ws[i], ws[i + o]),
+             |         'b', IF(ws[i] <= ws[i + o], ws[i + o], ws[i])),
+             |       null)))), s -> s IS NOT NULL)""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val toks = ws.select(explode(col("ws")).as("t"))
+      val cu = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val tt = toks.agg(count(lit(1)).as("t_total"))
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .join(cu.select(col("t").as("a"), col("c").as("c_a")), "a")
+        .join(cu.select(col("t").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(tt))
+        .withColumn("pmi_ppm",
+          expr("((c_ab * 1000000) div c_a) * t_total div c_b"))
+        .orderBy(desc("pmi_ppm"), col("a"), col("b"))
+        .limit(20)
+        .select("a", "b", "c_ab", "c_a", "c_b", "pmi_ppm")
+    }),
+
     // Decontamination-style PHRASE PROBE against the staged index — the
     // read path that justifies building the artifact: a deterministic
     // "benchmark" phrase set (the opening bigram of every 25th doc)
@@ -961,6 +1002,27 @@ object TextAnalysis {
         |       CAST(((p.c_ab * 1000000) // xa.c) * n.n_docs // xb.c AS BIGINT) AS pmi_ppm
         |FROM pairs p JOIN ca xa ON p.a = xa.t JOIN ca xb ON p.b = xb.t, n
         |ORDER BY pmi_ppm DESC, p.a, p.b LIMIT 20""".stripMargin,
+
+    "text_cooccur_pmi_window" ->
+      """WITH wsx AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS p, unnest(ws) AS w
+        |  FROM wsx WHERE len(ws) >= 2),
+        |pairs AS (
+        |  SELECT CASE WHEN a.w <= b.w THEN a.w ELSE b.w END AS a,
+        |         CASE WHEN a.w <= b.w THEN b.w ELSE a.w END AS b
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 4
+        |   AND a.w <> b.w),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |cu AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tt AS (SELECT count(*) AS t_total FROM toks)
+        |SELECT cab.a, cab.b, cab.c_ab, xa.c AS c_a, xb.c AS c_b,
+        |       CAST(((cab.c_ab * 1000000) // xa.c) * tt.t_total // xb.c AS BIGINT) AS pmi_ppm
+        |FROM cab JOIN cu xa ON cab.a = xa.w JOIN cu xb ON cab.b = xb.w, tt
+        |ORDER BY pmi_ppm DESC, cab.a, cab.b LIMIT 20""".stripMargin,
 
     "text_phrase_search" ->
       s"""WITH $invIndexCtes,

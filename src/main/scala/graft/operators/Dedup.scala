@@ -548,6 +548,42 @@ object Dedup {
     * over every token. */
   def stagedSimhash(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|simhash")(simhash32(docsParallel(s, dir)))
+
+  /** Banded simhash near-dup pairs (hamming ≤ 3): split the 32-bit
+    * fingerprint into 4 byte-blocks; by pigeonhole any pair within
+    * hamming 3 agrees on at least one whole block, so an equi-join on
+    * (block index, block value) finds all such pairs without an
+    * all-pairs scan. CANONICAL-BAND emission: the full fingerprint
+    * rides along on both join sides and a pair is kept only at its
+    * SMALLEST agreeing band — each (a,b) surfaces exactly once, which
+    * deletes the distinct over the raw candidate stream AND both
+    * fingerprint join-backs (at the 10× soak that distinct shuffled
+    * ~39 M candidate rows to confirm 8.5 M pairs; the verify is a
+    * row-local filter on the band join's output, nothing shuffles but
+    * the bands themselves). Shared by the pair query and the O(docs)
+    * cluster resolution. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = stagedSimhash(s, dir)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.b").as("b"), col("e.sig").as("sig"))
+    def byte(c: Column, b: Int): Column =
+      shiftright(c, 8 * b).bitwiseAND(255)
+    val firstAgreeingBand = (0 until 4).map { bb =>
+      (col("b") === bb) && (0 until bb)
+        .map(p => byte(col("sha"), p) =!= byte(col("shb"), p))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    bands.select(col("doc_id").as("doc_a"), col("simhash").as("sha"),
+        col("b"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("shb"),
+        col("b"), col("sig")), Seq("b", "sig"))
+      .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
   /** Minhash signatures staged: the LSH band self-join references the
     * signature table on both sides — unstaged, that is 2x16 md5 hashes
     * per shingle instead of 1x16. */
@@ -883,6 +919,34 @@ object Dedup {
         .orderBy("src_doc", "dst_doc")
     }),
 
+    // Containment with BOUNDED emission — the re-crawl-shaped-corpus
+    // form (the O(docs) counterpart dedup_simhash_clusters provides for
+    // the symmetric family): a doc sitting inside a k-way duplicate
+    // clique is contained in all k-1 others, so the raw pair stream is
+    // Θ(dup²); keeping each src_doc's top-K containing partners caps
+    // output at K rows per doc no matter how dense the duplication.
+    // The rank window partitions on src_doc, so Spark's map-side
+    // WindowGroupLimit keeps a running top-K per task BEFORE the
+    // shuffle — the exchange carries O(K·partitions) rows. Ties break
+    // on dst_doc; containment is the same raw IEEE quotient as above
+    // (bit-identical cross-engine, so the ordering replays too).
+    "dedup_containment_topk" -> ((s, dir) => {
+      val K = 3
+      val shared = stagedCappedShared(s, dir)
+      val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+        (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
+      val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+        (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src_doc").orderBy(desc("containment"), col("dst_doc"))
+      fwd.union(rev)
+        .filter(col("containment") >= 0.8)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("src_doc"), col("rk"), col("dst_doc"), col("containment"))
+        .orderBy("src_doc", "rk")
+    }),
+
     // Cross-source duplication matrix: near-dup pairs (J >= 0.5, df-capped
     // candidates) rolled up by unordered source pair — the contamination
     // audit a multi-source corpus runs to find which feeds overlap (and
@@ -920,45 +984,27 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       stagedSimhash(s, dir).orderBy("doc_id")),
 
-    // Banded simhash near-dup pairs: split the 32-bit fingerprint into
-    // 4 byte-blocks; by pigeonhole any pair with hamming distance <= 3
-    // agrees on at least one whole block, so an equi-join on
-    // (block index, block value) finds all such pairs without an
-    // all-pairs scan. Exact integer arithmetic end-to-end (bit_count of
-    // xor) — byte-identical across engines.
-    //
-    // CANONICAL-BAND emission: the full fingerprint rides along on both
-    // join sides, and a pair is kept only at its SMALLEST agreeing band
-    // — each (a,b) surfaces exactly once, which deletes the distinct
-    // over the raw candidate stream AND both fingerprint join-backs
-    // (at the 10× soak that distinct shuffled ~39 M candidate rows to
-    // confirm 8.5 M pairs; the verify is now a row-local filter on the
-    // band join's output, nothing shuffles but the bands themselves).
-    // Same trick LSH pipelines use to de-duplicate band matches without
-    // a pair-level shuffle.
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      val fp = stagedSimhash(s, dir)
-      val bands = fp.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
-        .select(col("doc_id"), col("simhash"), col("e.b").as("b"), col("e.sig").as("sig"))
-      def byte(c: Column, b: Int): Column =
-        shiftright(c, 8 * b).bitwiseAND(255)
-      val firstAgreeingBand = (0 until 4).map { bb =>
-        (col("b") === bb) && (0 until bb)
-          .map(p => byte(col("sha"), p) =!= byte(col("shb"), p))
-          .foldLeft(lit(true))(_ && _)
-      }.reduce(_ || _)
-      bands.select(col("doc_id").as("doc_a"), col("simhash").as("sha"),
-          col("b"), col("sig"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("shb"),
-          col("b"), col("sig")), Seq("b", "sig"))
-        .filter(col("doc_a") < col("doc_b") && firstAgreeingBand)
-        .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("bigint"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Banded simhash near-dup pairs (see [[simhashPairs]] for the
+    // pigeonhole band join + canonical-band emission). Exact integer
+    // arithmetic end-to-end (bit_count of xor) — byte-identical across
+    // engines. NOTE: pair output is Θ(dup²) on k-way duplicate cliques;
+    // dedup_simhash_clusters below is the O(docs) form for
+    // re-crawl-shaped corpora.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // The O(docs) resolution of the simhash graph — the shape that
+    // SUPERSEDES the pair query on duplicate-heavy corpora: the pair
+    // stream is Θ(dup²) on k-way cliques (a 10-way re-crawl clique
+    // emits 45 pairs; the round-7 10× soak measured 8.53 M pairs from
+    // planted cliques — a real re-crawl at 100 TB makes that the
+    // operator's output bottleneck), while doc→cluster via the same
+    // large-star/small-star CC primitive emits exactly one row per
+    // involved doc no matter how dense the duplicate structure is.
+    // Same recursive-reachability oracle family as dedup_clusters.
+    "dedup_simhash_clusters" -> ((s, dir) =>
+      connectedComponentsStar(simhashPairs(s, dir).select("doc_a", "doc_b"))
+        .orderBy("doc_id")),
 
     // KMV (k-minimum-values) bottom-k sketch per document via the typed
     // BottomK Aggregator (UDAF surface of O14): one-pass set signature
@@ -1421,6 +1467,32 @@ object Dedup {
          |FROM dirs WHERE containment >= 0.8
          |ORDER BY src_doc, dst_doc""".stripMargin,
 
+    "dedup_containment_topk" ->
+      s"""WITH $shingleCte,
+         |$cappedCandSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand ON a.doc_id = cand.doc_a AND b.doc_id = cand.doc_b
+         |  GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT doc_a, doc_b, shared, ca.c AS ca, cb.c AS cb
+         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id),
+         |dirs AS (
+         |  SELECT doc_a AS src_doc, doc_b AS dst_doc,
+         |         CAST(shared AS DOUBLE) / ca AS containment FROM joined
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(shared AS DOUBLE) / cb FROM joined),
+         |ranked AS (
+         |  SELECT src_doc, dst_doc, containment,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY src_doc
+         |           ORDER BY containment DESC, dst_doc) AS INT) AS rk
+         |  FROM dirs WHERE containment >= 0.8)
+         |SELECT src_doc, rk, dst_doc, containment
+         |FROM ranked WHERE rk <= 3 ORDER BY src_doc, rk""".stripMargin,
+
     "doc_kmv_sketch" ->
       s"""WITH $shingleCte
          |SELECT doc_id,
@@ -1473,6 +1545,36 @@ object Dedup {
          |JOIN fp fa ON c.doc_a = fa.doc_id
          |JOIN fp fb ON c.doc_b = fb.doc_id
          |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same pair CTE chain, resolved to components by recursive
+    // reachability (the dedup_clusters oracle pattern)
+    "dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (
+         |  SELECT doc_id,
+         |         $simhashBitSums
+         |  FROM toks GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $simhashValue AS simhash FROM sums),
+         |bands AS (
+         |  SELECT doc_id, simhash, (simhash >> (8 * CAST(t.b AS INTEGER))) & 255 AS sig, t.b
+         |  FROM fp, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.sig = b2.sig
+         |   AND a.doc_id < b2.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN fp fa ON c.doc_a = fa.doc_id
+         |  JOIN fp fb ON c.doc_b = fb.doc_id
+         |  WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, root) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.doc)
+         |SELECT doc AS doc_id, min(root) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
   )
 }

@@ -711,26 +711,53 @@ object Relational {
       salted.groupBy("word").agg(sum("partial").as("cnt")).orderBy("word")
     }),
 
-    // HLL sketch distinct (no oracle — approximate by design; the driver
-    // records a rows-only check). rsd 5% default.
+    // HLL sketch distinct, ORACLE-GATED: the sketch estimate is checked
+    // IN-PLAN against the exact distinct (within 15% = 3σ of the default
+    // 5% rsd — raise_error on violation), and the emitted row carries
+    // the exact count, so DuckDB replays the full result while the
+    // approx path still runs and is still bounded on every execution.
     "agg_approx_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          when(abs(col("approx") - col("n_parts")).cast("double") <=
+            col("n_parts").cast("double") * 0.15, lit(true))
+            .otherwise(raise_error(concat(
+              lit("approx_count_distinct outside 15% of exact: "),
+              col("approx").cast("string"), lit(" vs "),
+              col("n_parts").cast("string"))).cast("boolean"))
+            .as("within_3rsd"))
         .orderBy("l_returnflag")),
 
-    // Approximate percentiles (no oracle — approximation is Spark's own
-    // GK sketch): the fixed-memory scale twin of agg_percentiles, the
-    // form a 100 TB latency/price distribution question actually runs.
-    "agg_approx_percentile" -> ((s, dir) =>
+    // Approximate percentiles (Spark's GK sketch — the fixed-memory
+    // scale twin of agg_percentiles, the form a 100 TB latency/price
+    // distribution question actually runs), ORACLE-GATED the same way:
+    // the estimate must land within 2% of the exact interpolated
+    // percentile in-plan (accuracy 10000 ⇒ rank error ≤ 1e-4·n, far
+    // tighter than 2% in value on this distribution), and the emitted
+    // row carries the exact percentiles for DuckDB to replay.
+    "agg_approx_percentile" -> ((s, dir) => {
+      def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        abs(a - e) <= abs(e) * 0.02
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pcts"))
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("apcts"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("epcts"))
         .select(col("l_returnflag"),
-          round(element_at(col("pcts"), 1), 2).as("p50"),
-          round(element_at(col("pcts"), 2), 2).as("p95"))
-        .orderBy("l_returnflag")),
+          round(element_at(col("epcts"), 1), 2).as("p50"),
+          round(element_at(col("epcts"), 2), 2).as("p95"),
+          when(ok(element_at(col("apcts"), 1), element_at(col("epcts"), 1)) &&
+            ok(element_at(col("apcts"), 2), element_at(col("epcts"), 2)), lit(true))
+            .otherwise(raise_error(concat(
+              lit("approx_percentile outside 2% of exact: "),
+              col("apcts").cast("string"), lit(" vs "),
+              col("epcts").cast("string"))).cast("boolean"))
+            .as("within_eps"))
+        .orderBy("l_returnflag")
+    }),
 
     // --- set ops ---------------------------------------------------------
     // INTERSECT: buyers who are also high-balance customers.
@@ -1128,6 +1155,22 @@ object Relational {
         |       quantile_cont(l_quantity, 0.5) AS median,
         |       quantile_cont(l_quantity, 0.75) AS q75,
         |       quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the approx twins replay their EXACT columns; the within-ε flag is
+    // TRUE by construction (the Spark side raise_errors on violation,
+    // so a sketch drifting out of bounds fails the whole gate loudly)
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |       TRUE AS within_eps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "window_distribution" ->

@@ -65,22 +65,12 @@ object Sampling {
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("l_orderkey"))
       val thr = PoissonCdf16
-      // Hoist the 4 md5s per row BELOW a generator, then fan out: the
-      // hs projection sits under Generate(explode(sequence(0,31))), and
-      // a generator is a projection-collapse barrier — Catalyst cannot
-      // re-inline the md5s into the per-replica weight math above it
-      // (the round-7 regression: 64 agg exprs each re-derived the full
-      // weight array per row, 20.8 s → 460 s; PlanAuditSpec now pins
-      // "≤ 4 md5 evals per row" against the physical plan). The 32×
-      // fan-out carries only (cents, hs, b) to a cheap substring/conv
-      // per replica, feeds a partial aggregate on b, and the exchange
-      // still moves just 32 partial rows per task regardless of corpus
-      // size; the order statistic sorts a 32-element array on one row.
-      // four PLAIN md5 columns (not a transform array): every expression
-      // in the hot path — md5/concat, substring/conv, CASE — has doGenCode,
-      // so scan → hash → Generate → weight → partial agg is ONE
-      // WholeStageCodegen span (higher-order transform/filter lambdas are
-      // interpreted-only and cost ~4× the whole query at 19M rows)
+      // Four PLAIN md5 columns (not a transform array) hoisted BELOW
+      // the generator: every expression in the hot path — md5/concat,
+      // substring/conv, CASE — has doGenCode, so scan → hash → Generate
+      // → weight → partial agg is ONE WholeStageCodegen span
+      // (higher-order transform/filter lambdas are interpreted-only and
+      // cost ~4× the whole query at 19M rows).
       val hashCols = (0 until 4).map(i => md5(expr(
         s"concat('$i:', cast(l_orderkey as string), ':', cast(l_linenumber as string))"))
         .as(s"h$i"))

@@ -65,13 +65,27 @@ object Sketches {
 
     // Mergeable HLL distinct: per-status customer sketches unioned into
     // a global estimate — the re-aggregatable rollup pattern (store the
-    // sketch, answer distinct questions without rescanning). Approximate
-    // by design → no DuckDB oracle (driver records a rows-only check).
+    // sketch, answer distinct questions without rescanning). ORACLE-
+    // GATED: the union estimate is asserted within 5% (~3σ at lgK=12)
+    // of the exact distinct IN-PLAN (raise_error on violation) and the
+    // emitted row carries the exact count for DuckDB to replay — the
+    // sketch path still runs and is still bounded on every execution.
     "hll_union_distinct" -> ((s, dir) => {
-      Tables.orders(s, dir)
+      val est = Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_customers"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      Tables.orders(s, dir)
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers"))
+        .crossJoin(broadcast(est))
+        .select(col("distinct_customers"),
+          when(abs(col("est") - col("distinct_customers")).cast("double") <=
+            col("distinct_customers").cast("double") * 0.05, lit(true))
+            .otherwise(raise_error(concat(
+              lit("hll union estimate outside 5% of exact: "),
+              col("est").cast("string"), lit(" vs "),
+              col("distinct_customers").cast("string"))).cast("boolean"))
+            .as("within_eps"))
     }),
 
     // Explicit bloom-prefiltered semi-join (see graft.functions.Bloom):
@@ -164,6 +178,13 @@ object Sketches {
   }
 
   def oracles: Map[String, String] = Map(
+    // replays the EXACT column; within_eps is TRUE by construction (the
+    // Spark side raise_errors when the HLL estimate drifts out of 5%)
+    "hll_union_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+        |       TRUE AS within_eps
+        |FROM orders""".stripMargin,
+
     "sketch_countmin" -> {
       def b(keyExpr: String) =
         s"(${PortableHash.sql(s"CAST(t.d AS VARCHAR) || ':' || $keyExpr")}) % 256"

@@ -39,6 +39,34 @@ object VersionedStore {
 
   def listVersions(base: String): Seq[Long] = versionDirs(base).map(_._1)
 
+  /** One row per stored version with file count and byte size — the
+    * analogue of the reference DFS's `ls` listing (its client prints
+    * each stored replica per sdfs name, `dfs/dfs_client.py:146-157`);
+    * here a version's "replicas" are its parquet part files and
+    * durability is the filesystem's job, so the useful listing is
+    * (version, files, bytes). Metadata-only: nothing reads row data. */
+  def ls(base: String): Seq[VersionInfo] =
+    versionDirs(base).map { case (v, dir) =>
+      val stream = Files.walk(Paths.get(dir))
+      try {
+        var files = 0L
+        var bytes = 0L
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith(".")) {
+            files += 1
+            bytes += Files.size(p)
+          }
+        }
+        VersionInfo(v, files, bytes)
+      } finally stream.close()
+    }
+
+  final case class VersionInfo(version: Long, files: Long, bytes: Long)
+
   /** Write the next version; returns its number (1-based). */
   def write(df: DataFrame, base: String): Long = {
     val next = listVersions(base).lastOption.getOrElse(0L) + 1

@@ -24,7 +24,9 @@ import org.apache.spark.sql.SparkSession
   * pair counts ~N^2/2-fold, and a pair generator whose count scales
   * WORSE than that is broken, not just slow).
   *
-  * Usage: runMain graft.tools.Soak [sfDir] [outJsonl]
+  * Usage: runMain graft.tools.Soak [sfDir] [outJsonl] [name ...]
+  * (trailing names restrict the soak to those queries — the incremental
+  * re-soak path for queries added/changed since the last full run)
   * Env: SPARK_GRAFT_SOAK_TIMEOUT (sec/query), SPARK_GRAFT_CPUS.
   */
 object Soak {
@@ -51,7 +53,15 @@ object Soak {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
 
-    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val names = {
+      val all = graft.SparkEntry.queries.keys.toSeq.sorted
+      if (args.length > 2) {
+        val want = args.drop(2).toSet
+        val unknown = want -- all.toSet
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+        all.filter(want)
+      } else all
+    }
     // a stuck worker thread (cancel not honored) must not block the rest
     // of the soak: abandon its executor and continue on a fresh one
     var exec = Executors.newSingleThreadExecutor()

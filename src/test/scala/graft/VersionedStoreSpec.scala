@@ -114,4 +114,18 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.listVersions(base) === versions)
     assert(versions.map(v => VersionedStore.readVersion(spark, base, v).count()).sum === 3)
   }
+
+  test("ls reports every version with its file count and byte size") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vs-ls").toString
+    VersionedStore.write(Seq(1, 2, 3).toDF("v").coalesce(1), base)
+    VersionedStore.write(Seq(4, 5).toDF("v").repartition(2), base)
+    val listing = VersionedStore.ls(base)
+    assert(listing.map(_.version) === Seq(1L, 2L))
+    // data part files only (no _SUCCESS / .crc bookkeeping), real sizes
+    assert(listing.head.files === 1L)
+    assert(listing(1).files === 2L)
+    assert(listing.forall(_.bytes > 0L))
+    assert(VersionedStore.ls(s"$base-nonexistent").isEmpty)
+  }
 }
