@@ -278,6 +278,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // QUANTILE-GATED corpus filtering — drop each language's bottom
+    // quality quintile (absolute thresholds misfire across languages;
+    // per-language quantiles adapt to each slice's own distribution —
+    // the standard corpus-pruning pass). The quality score is recast in
+    // integer ppm (same components as qualityScore, staged integer
+    // divisions) so the ranking input replays bit-for-bit. Scale shape:
+    // NO per-doc rank window (a full per-language sort of the corpus) —
+    // the cutoff is a 20-row per-language aggregate broadcast back, so
+    // the corpus takes one narrow pass + one bounded-key agg. The exact
+    // percentile cutoff buffers per-group values (fine to ~10⁸ docs per
+    // lang); the 100 TB cutoff is approx_percentile, which runs HERE
+    // IN-PLAN and is asserted inside the exact [15th, 25th]-percentile
+    // band (GK rank error 1e-4 ≪ the band; raise_error on violation) —
+    // the same ε-contract pattern as agg_approx_percentile, so swapping
+    // the gate to the sketch cutoff at scale is a verified one-liner.
+    "text_quality_quantile" -> ((s, dir) => {
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(qualityPpmExpr).as("q_ppm"))
+      val cut = q.groupBy("lang").agg(
+        expr("percentile(q_ppm, 0.2)").as("cutoff"),
+        expr("cast(approx_percentile(q_ppm, 0.2, 10000) as double)").as("acut"),
+        expr("percentile(q_ppm, 0.15)").as("lo"),
+        expr("percentile(q_ppm, 0.25)").as("hi"))
+        .select(col("lang"), col("cutoff"),
+          when(col("acut").between(col("lo"), col("hi")), lit(true))
+            .otherwise(raise_error(concat(
+              lit("approx 20th-pct cutoff outside exact [15,25] band: "),
+              col("acut").cast("string"))).cast("boolean"))
+            .as("cutoff_band_ok"))
+      q.join(broadcast(cut), "lang")
+        .select(col("doc_id"), col("lang"), col("q_ppm"),
+          (col("q_ppm").cast("double") > col("cutoff")).as("kept"),
+          col("cutoff_band_ok"))
+        .orderBy("doc_id")
+    }),
+
     // The first BPE merge-training round: corpus-wide adjacent character
     // pair counts (the statistic each merge step of byte-pair-encoding
     // tokenizer training maximizes). One narrow explode pass + one hash
@@ -716,6 +752,35 @@ object TextAnalysis {
   private def sqlHits(set: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  /** Integer-ppm quality score (Spark SQL form): the same three
+    * components as [[qualityScore]] — stopword share (0.4), length
+    * credit capped at 100 tokens (0.3), cleanliness (0.3) — as STAGED
+    * INTEGER divisions in parts-per-million, so the value replays
+    * bit-for-bit cross-engine (float sums drift in the last ulp, which
+    * would flip quantile ranks near ties). */
+  private val qualityPpmExpr: String = {
+    val inList = StopEn.map("'" + _ + "'").mkString(", ")
+    s"""cast(400000 as bigint)
+       |  * size(filter(split(text, ' ', -1), w -> w in ($inList)))
+       |  div size(split(text, ' ', -1))
+       |+ cast(3000 as bigint) * least(size(split(text, ' ', -1)), 100)
+       |+ cast(300000 as bigint)
+       |- coalesce(cast(300000 as bigint)
+       |    * (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')))
+       |    div nullif(length(text), 0), 0)""".stripMargin
+  }
+
+  /** DuckDB twin of [[qualityPpmExpr]]. */
+  private val qualityPpmSql: String =
+    s"""CAST(400000 AS BIGINT)
+       |    * ${sqlHits(StopEn)}
+       |    // len(string_split(text, ' '))
+       |  + CAST(3000 AS BIGINT) * least(len(string_split(text, ' ')), 100)
+       |  + CAST(300000 AS BIGINT)
+       |  - coalesce(CAST(300000 AS BIGINT)
+       |      * (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+       |      // nullif(length(text), 0), 0)""".stripMargin
+
   /** DuckDB twin of [[qualityScore]] (shared by the text_quality oracle
     * and the pipeline_clean_corpus oracle). */
   def qualitySql: String =
@@ -802,6 +867,20 @@ object TextAnalysis {
          |  round($qualitySql, 6) AS quality,
          |  $qualitySql > 0.5 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cutoff_band_ok is TRUE by construction: the Spark side
+    // raise_errors when the approx cutoff leaves the exact band
+    "text_quality_quantile" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, CAST($qualityPpmSql AS BIGINT) AS q_ppm
+         |  FROM documents),
+         |cut AS (
+         |  SELECT lang, quantile_cont(q_ppm, 0.2) AS cutoff
+         |  FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.q_ppm,
+         |       CAST(q.q_ppm AS DOUBLE) > cut.cutoff AS kept,
+         |       TRUE AS cutoff_band_ok
+         |FROM q JOIN cut USING (lang) ORDER BY doc_id""".stripMargin,
 
     "text_bpe_pairs" ->
       """SELECT substr(text, i, 2) AS pair, count(*) AS cnt

@@ -562,8 +562,13 @@ object Dedup {
     * row-local filter on the band join's output, nothing shuffles but
     * the bands themselves). Shared by the pair query and the O(docs)
     * cluster resolution. */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = stagedSimhash(s, dir)
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(stagedSimhash(s, dir))
+
+  /** Same banded pair generation over an arbitrary (doc_id, simhash)
+    * frame — the cluster query runs it on one representative per
+    * distinct fingerprint instead of the full corpus. */
+  private def simhashPairsOf(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("b"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
@@ -998,13 +1003,37 @@ object Dedup {
     // stream is Θ(dup²) on k-way cliques (a 10-way re-crawl clique
     // emits 45 pairs; the round-7 10× soak measured 8.53 M pairs from
     // planted cliques — a real re-crawl at 100 TB makes that the
-    // operator's output bottleneck), while doc→cluster via the same
-    // large-star/small-star CC primitive emits exactly one row per
-    // involved doc no matter how dense the duplicate structure is.
-    // Same recursive-reachability oracle family as dedup_clusters.
-    "dedup_simhash_clusters" -> ((s, dir) =>
-      connectedComponentsStar(simhashPairs(s, dir).select("doc_a", "doc_b"))
-        .orderBy("doc_id")),
+    // operator's output bottleneck), while doc→cluster emits exactly
+    // one row per involved doc no matter how dense the duplication.
+    //
+    // FINGERPRINT COLLAPSE before CC: docs sharing an identical simhash
+    // are by definition one hamming-0 clique, so the component graph is
+    // computed over one REPRESENTATIVE per distinct fingerprint (min
+    // doc_id — exactly what a re-crawl collapses N× on) and each doc
+    // inherits its representative's label via one equi-join on the
+    // fingerprint. Labels are unchanged: a cluster's min doc_id is the
+    // min over its fingerprint groups' own minima. The star-CC rounds
+    // then shuffle edges between distinct fingerprints, not dup² clique
+    // edges. Same recursive-reachability oracle as dedup_clusters.
+    "dedup_simhash_clusters" -> ((s, dir) => {
+      val fp = stagedSimhash(s, dir)
+      val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
+      val fpRep = fp.join(reps, "simhash")
+      val repEdges = simhashPairsOf(reps.select(col("rep").as("doc_id"), col("simhash")))
+        .select("doc_a", "doc_b")
+      val repClusters = connectedComponentsStar(repEdges)
+        .select(col("doc_id").as("rep"), col("cluster_id"))
+      // docs whose representative joined a cross-fingerprint cluster
+      // take that label; docs in a multi-doc hamming-0 clique with no
+      // external edge cluster at their representative
+      val dupOnly = fpRep.groupBy("rep").agg(count(lit(1)).as("grp_n"))
+      fpRep.join(repClusters, Seq("rep"), "left")
+        .join(dupOnly, "rep")
+        .filter(col("cluster_id").isNotNull || col("grp_n") > 1)
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
 
     // KMV (k-minimum-values) bottom-k sketch per document via the typed
     // BottomK Aggregator (UDAF surface of O14): one-pass set signature

@@ -351,6 +351,11 @@ object Relational {
     // Exact percentiles (sort-based aggregate; the exact twin of the
     // approx_percentile scale path). Interpolation formula
     // lower + (upper-lower)*frac matches DuckDB quantile_cont bitwise.
+    // NOT rebalanced: percentile is holistic — a partial buffer carries
+    // its whole value multiset, so a pre-aggregate exchange ships the
+    // column twice for no parallel win (measured: 1.9 s either way at
+    // sf0.1); the bootstrap-style rebalance only pays off when per-row
+    // compute dwarfs row width.
     "agg_percentiles" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")

@@ -282,6 +282,33 @@ object Sampling {
         .orderBy("source")
     }),
 
+    // TOKEN-BUDGET fill — the mixing op stated in budget units ("at
+    // most B chars of training data per language") rather than doc
+    // counts: walk each language's docs in deterministic hash order (a
+    // reproducible pseudo-random permutation; rand() would change the
+    // mix every run) and keep docs while the running char total stays
+    // inside the budget. The cumulative sum is an ordered window per
+    // lang — a bounded categorical partition, so the same skew posture
+    // as sample_quota_per_source (salt + re-rank is the giant-slice
+    // path). Audit output: one row per language, never the corpus.
+    "sample_token_budget" -> ((s, dir) => {
+      val B = 20000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(pmod(PortableHash.hash60(col("doc_id").cast("string")),
+          lit(1000000L)), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum") <= B, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("cum") <= B, col("n_chars"))), lit(0L))
+            .as("chars_kept"))
+        .withColumn("budget", lit(B))
+        .orderBy("lang")
+    }),
+
     // Cluster-balanced diversity sampling (the SemDeDup-family
     // subsampling pass): cap every trained k-means cell at a fixed
     // quota so dense regions of embedding space are downsampled and
@@ -379,6 +406,20 @@ object Sampling {
          |       CAST(sum(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |       min(CASE WHEN ${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN doc_id END) AS first_sampled_doc
          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "sample_token_budget" -> {
+      val h = s"${PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 1000000"
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |         sum(n_chars) OVER (
+         |           PARTITION BY lang ORDER BY $h, doc_id) AS cum
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(sum(CASE WHEN cum <= 20000 THEN n_chars END), 0) AS BIGINT) AS chars_kept,
+         |       CAST(20000 AS BIGINT) AS budget
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "sample_quota_per_source" ->
       s"""SELECT doc_id, source, rk FROM (
