@@ -42,10 +42,10 @@ object Sampling {
     // l_extendedprice; the CI is the 2nd/31st order statistic (≈ 90%
     // interval). Scale shape: the 32× row fan-out NEVER shuffles — it
     // feeds a partial aggregate, so the exchange carries 32 rows of
-    // decimal sums per task regardless of corpus size (compute-heavy,
+    // integer sums per task regardless of corpus size (compute-heavy,
     // shuffle-trivial — the right trade at 100 TB), and the order
     // statistic sorts a 32-element array on one row. Replica means are
-    // exact-decimal sums divided once in IEEE doubles — bit-identical
+    // exact integer sums divided once in IEEE doubles — bit-identical
     // cross-engine, so even the sort order of means replays.
     "sample_bootstrap_ci" -> ((s, dir) => {
       val B = 32

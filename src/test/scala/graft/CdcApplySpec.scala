@@ -73,5 +73,18 @@ class CdcApplySpec extends SparkSpec {
       .select("user_id", "ts", "event_type", "value")
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     assert(v1got === v1want)
+
+    // seed immutability: a restart with a DIFFERENT seed must not
+    // rewrite v=0 — the existing immutable seed wins (a changed seed on
+    // restart would silently fork history; a crash mid-rewrite would
+    // leave v=0 half-written under readable later versions)
+    val v0Before = VersionedStore.readVersion(spark, base, 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    CdcApply.start(spark, ev, seed.limit(1), in.toString, base, cp)
+      .awaitTermination()
+    val v0After = VersionedStore.readVersion(spark, base, 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(v0After === v0Before, "restart must not rewrite seed v=0")
+    assert(VersionedStore.listVersions(base) === Seq(0L, 1L, 2L, 3L))
   }
 }
