@@ -61,29 +61,45 @@ object Multimodal {
     }
 
   /** The fingerprint computation itself, over any (doc_id, text) frame —
-    * split out so specs can feed adversarial synthetic payloads. */
-  private[graft] def ahashOf(docs: DataFrame): DataFrame =
-      docs
-        .select(col("doc_id"), hex(col("text").cast("binary")).as("h"),
-          length(col("text").cast("binary")).as("nb"))
-        .withColumn("bl", greatest(lit(1), expr("(nb + 59) div 60")))
-        .withColumn("ss", expr(
-          """transform(sequence(0, 59), i ->
-            |  aggregate(filter(sequence(0, bl - 1), j -> i * bl + j < nb),
-            |    named_struct('s', cast(0 as double), 'c', 0),
-            |    (acc, j) -> named_struct(
-            |      's', acc.s + cast(conv(substring(h, (i * bl + j) * 2 + 1, 2), 16, 10) as double),
-            |      'c', acc.c + 1)))""".stripMargin))
-        .withColumn("da", expr(
-          "CASE WHEN nb = 0 THEN cast(null as double) " +
-            "ELSE aggregate(ss, cast(0 as double), (a, x) -> a + x.s) / nb END"))
-        .withColumn("fp", expr(
-          """CASE WHEN nb = 0 THEN cast(0 as bigint) ELSE
-            |aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) ->
-            |  acc + CASE WHEN ss[i].c > 0 AND ss[i].s / ss[i].c > da
-            |             THEN shiftleft(cast(1 as bigint), i)
-            |             ELSE cast(0 as bigint) END) END""".stripMargin))
-        .select(col("doc_id"), col("fp"))
+    * split out so specs can feed adversarial synthetic payloads.
+    *
+    * Shape: a per-byte EXPLODE feeding two aggregations, not a
+    * higher-order lambda. The previous nested transform/aggregate
+    * formulation evaluated one interpreted lambda step per byte
+    * (HigherOrderFunctions have no codegen) and dominated the staged
+    * fingerprint's cost — ~55 s of the phash-cluster query's 60 s at
+    * the 10× soak. Exploded, every stage (conv, the two hash
+    * aggregates, the window) runs in whole-stage codegen; byte sums
+    * stay in LONG (exact — each byte ≤ 255, so the per-bucket and
+    * per-doc totals are exact integers and the two double divisions
+    * reproduce the lambda formulation's values bit-for-bit; the oracle
+    * is unchanged). */
+  private[graft] def ahashOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("h"),
+        length(col("text").cast("binary")).as("nb"))
+      .withColumn("bl", greatest(lit(1), expr("(nb + 59) div 60")))
+    // the generator tokenizes the hex into 2-char byte tokens BEFORE
+    // the fan-out (regexp_extract_all '..' = successive byte pairs), so
+    // exploded rows carry one tiny token — not the whole multi-KB hex
+    // string duplicated once per byte through the Generate
+    val bytes = base.filter(col("nb") > 0)
+      .select(col("doc_id"), col("nb"), col("bl"),
+        posexplode(expr("regexp_extract_all(h, '..', 0)")).as(Seq("k", "hx")))
+      .select(col("doc_id"), col("nb"), expr("k div bl").as("i"),
+        expr("cast(conv(hx, 16, 10) as bigint)").as("v"))
+    val bsums = bytes.groupBy("doc_id", "nb", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val nonEmpty = bsums
+      .withColumn("da", sum(col("s")).over(wDoc).cast("double") / col("nb"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s").cast("double") / col("c") > col("da"),
+        expr("shiftleft(cast(1 as bigint), i)")).otherwise(lit(0L))).as("fp"))
+    base.filter(col("nb") === 0)
+      .select(col("doc_id"), lit(0L).as("fp"))
+      .unionByName(nonEmpty.select(col("doc_id"), col("fp")))
+  }
 
   /** Verified near-dup pairs over the aHash fingerprints: 4×15-bit LSH
     * band candidates (per-band equality joins, never all-pairs), each
@@ -91,8 +107,13 @@ object Multimodal {
     * row-local predicate over the two fingerprints riding the join — no
     * pair-level distinct, no join-backs), verified by one bit_count
     * hamming ≤ 12. Shared by the pair query and the cluster query. */
-  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = ahashFingerprints(s, dir)
+  private def phashPairs(s: SparkSession, dir: String): DataFrame =
+    phashPairsOf(ahashFingerprints(s, dir))
+
+  /** Same banded pair generation over an arbitrary (doc_id, fp) frame —
+    * the cluster query runs it on one representative per distinct
+    * fingerprint instead of the full corpus. */
+  private def phashPairsOf(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(b => struct(lit(b).as("b"),
           shiftright(col("fp"), 15 * b).bitwiseAND(32767).as("sig"))): _*)).as("e"))
@@ -163,13 +184,31 @@ object Multimodal {
     // sf0.1), so min-label propagation's O(diameter) rounds lose to
     // star's O(log² n) — 16 min-label rounds on this corpus, and the
     // swap measured 5.6 → 3.0 s isolated steady at sf0.1.
+    //
+    // FINGERPRINT COLLAPSE before CC (same rewrite as
+    // dedup_simhash_clusters, same labels): byte-identical re-crawled
+    // media share an identical aHash, so CC runs over one
+    // representative per distinct fingerprint (min doc_id) and every
+    // doc inherits its representative's label through one fingerprint
+    // equi-join — the star rounds shuffle inter-fingerprint edges, not
+    // the dup² clique edges a re-crawl plants (the round-8 10× soak
+    // measured this query at 60.1 s pre-collapse).
     "multimodal_phash_clusters" -> ((s, dir) => {
-      val clusters = Dedup.connectedComponentsStar(phashPairs(s, dir))
-      Tables.documents(s, dir).select("doc_id")
-        .join(clusters, Seq("doc_id"), "left")
+      val fp = ahashFingerprints(s, dir)
+      val reps = fp.groupBy("fp").agg(min("doc_id").as("rep"))
+      val repClusters = Dedup.connectedComponentsStar(
+        phashPairsOf(reps.select(col("rep").as("doc_id"), col("fp"))))
+        .select(col("doc_id").as("rep"), col("cluster_id"))
+      val grpN = fp.join(reps, "fp").groupBy("rep").agg(count(lit(1)).as("grp_n"))
+      fp.join(reps, "fp")
+        .join(repClusters, Seq("rep"), "left")
+        .join(grpN, "rep")
         .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+          when(col("cluster_id").isNotNull, col("cluster_id"))
+            .when(col("grp_n") > 1, col("rep"))
+            .otherwise(col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("doc_id")).as("keep"))
         .orderBy("doc_id")
     }),
 
