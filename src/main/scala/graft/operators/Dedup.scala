@@ -350,15 +350,63 @@ object Dedup {
       .join(counts.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
   }
 
-  /** Exact near-dup pair graph (J >= 0.5) from the staged inverted
-    * index — the edge input to cluster resolution. Staged itself: both
-    * the cluster query and the keep-list query consume it. */
-  private def neardupEdges(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|edges")(
-      sharedCounts(stagedShingles(s, dir))
+  /** (doc_id, rep): rep = min doc_id among EXACT-text duplicates (md5
+    * of the raw text — byte equality, so shingle sets are identical by
+    * construction). The collapse key for cluster-resolution queries:
+    * on a re-crawl-shaped corpus most duplication is exact, and the
+    * shingle self-join over k exact copies does k² of the work one
+    * representative does. */
+  private def exactRepMap(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|exactreps") {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fpx"))
+      fp.join(fp.groupBy("fpx").agg(min("doc_id").as("rep")), "fpx")
+        .select("doc_id", "rep")
+    }
+
+  /** The J >= 0.5 edge graph over exact-dup REPRESENTATIVES only — the
+    * candidate self-join runs on one doc per distinct text, so a k-way
+    * exact-duplicate clique contributes one node instead of k²/2 join
+    * rows. Reuses the staged full-corpus shingle index (filtered, not
+    * re-tokenized). */
+  private def neardupRepEdges(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|repedges") {
+      val reps = exactRepMap(s, dir)
+        .filter(col("doc_id") === col("rep")).select("doc_id")
+      sharedCounts(stagedShingles(s, dir).join(reps, "doc_id"))
         .filter(col("shared").cast("double") /
           (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
-        .select("doc_a", "doc_b"))
+        .select("doc_a", "doc_b")
+    }
+
+  /** Cluster resolution with EXACT-DUP COLLAPSE (same labels as CC over
+    * the full pair graph, proven by the unchanged recursive-reachability
+    * oracles): run the given CC on the representative graph, then every
+    * doc inherits its representative's label through the (doc_id, rep)
+    * map. Identical-text docs are pairwise J = 1 edges in the full
+    * graph whenever they have >= 1 shingle, so a multi-doc exact group
+    * is internally connected exactly when its representative has
+    * shingles — groups of shingle-less docs have no edges in either
+    * formulation and are excluded. A cluster's label is unchanged: the
+    * component minimum equals the minimum over its exact-groups' own
+    * minima, which is the representative-graph minimum. */
+  private def clustersCollapsed(s: SparkSession, dir: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val repMap = exactRepMap(s, dir)
+    val repClusters = cc(neardupRepEdges(s, dir))
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    val grpN = repMap.groupBy("rep").agg(count(lit(1)).as("grp_n"))
+    val repSh = stagedShingles(s, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("nsh"))
+      .select(col("doc_id").as("rep"), col("nsh"))
+    repMap.join(repClusters, Seq("rep"), "left")
+      .join(grpN, "rep")
+      .join(repSh, Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull ||
+        (col("grp_n") > 1 && coalesce(col("nsh"), lit(0L)) > 0))
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
 
   /** Connected components over an undirected edge list (doc_a, doc_b) by
     * iterative min-label propagation: every node starts labeled with its
@@ -786,23 +834,29 @@ object Dedup {
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
     // the smallest doc_id in its cluster — the canonical representative
-    // a dedup pipeline keeps. Oracle: DuckDB recursive CTE reachability.
+    // a dedup pipeline keeps. Runs with EXACT-DUP COLLAPSE (see
+    // clustersCollapsed): CC over one representative per distinct text,
+    // labels fanned back through the exact-dup map — the round-8 10×
+    // soak measured the uncollapsed edge staging at 47.8 s, dominated
+    // by k² self-join work inside planted k-way exact cliques. Oracle:
+    // DuckDB recursive CTE reachability over the FULL pair graph —
+    // unchanged, which is the proof the collapse preserves labels.
     "dedup_clusters" -> ((s, dir) =>
-      connectedComponents(neardupEdges(s, dir)).orderBy("doc_id")),
+      clustersCollapsed(s, dir, connectedComponents(_)).orderBy("doc_id")),
 
     // Same clusters via the O(log²n)-round large-star/small-star
     // rewriting (see connectedComponentsStar) — the deep-graph scale
     // path, gate-checked against the identical recursive-CTE oracle so
     // the two CC implementations can never drift.
     "dedup_clusters_star" -> ((s, dir) =>
-      connectedComponentsStar(neardupEdges(s, dir)).orderBy("doc_id")),
+      clustersCollapsed(s, dir, connectedComponentsStar(_)).orderBy("doc_id")),
 
     // The decision a dedup pipeline actually ships: one row per corpus
     // document with its cluster and a keep/drop verdict (keep = the
     // cluster's min doc_id; singletons keep themselves). Candidates →
     // verify → cluster → keep-list, end to end.
     "dedup_keep_canonical" -> ((s, dir) => {
-      val clusters = connectedComponents(neardupEdges(s, dir))
+      val clusters = clustersCollapsed(s, dir, connectedComponents(_))
       Tables.documents(s, dir).select("doc_id")
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
