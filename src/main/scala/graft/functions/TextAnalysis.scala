@@ -121,15 +121,21 @@ object TextAnalysis {
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("pair")).limit(1)
         .collect()
-      if (top.isEmpty) return merges.result()
+      if (top.isEmpty) { ckpt.release(corpus); return merges.result() }
       val pair = top(0).getAs[String]("pair")
       val cnt = top(0).getAs[Long]("cnt")
       merges += ((r, pair, cnt))
       val marker = (0xE000 + (r - 1)).toChar.toString
-      corpus = ckpt.cut(corpus
+      val next = ckpt.cut(corpus
         .select(regexp_replace(col("text"),
           java.util.regex.Pattern.quote(pair), marker).as("text")))
+      // the merged corpus supersedes round r-1's — release it, or a
+      // 4-round train leaks ~5 full-corpus rewrites into session
+      // storage (the single biggest localCheckpoint leak in the suite)
+      ckpt.release(corpus)
+      corpus = next
     }
+    ckpt.release(corpus)
     merges.result()
   }
 

@@ -20,12 +20,24 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait CheckpointStrategy {
   def cut(df: DataFrame): DataFrame
+
+  /** Free a frame produced by [[cut]] once the loop will never read it
+    * again. A localCheckpoint's blocks otherwise live for the WHOLE
+    * session: across a many-query session (bench, soak, a long-lived
+    * query server) every loop round's orphaned blocks accumulate in
+    * executor storage and starve later queries' storage+execution
+    * memory — measured as CC-loop queries running 6-8× slower deep
+    * into a 182-query soak than in isolation. Calling release on a
+    * frame that might still be read is a correctness bug (checkpointed
+    * blocks have no lineage to recompute from). */
+  def release(df: DataFrame): Unit
 }
 
 object CheckpointStrategy {
 
   case object Local extends CheckpointStrategy {
     override def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    override def release(df: DataFrame): Unit = { df.unpersist(): Unit }
   }
 
   final case class Reliable(dir: String) extends CheckpointStrategy {
@@ -36,5 +48,8 @@ object CheckpointStrategy {
       if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
       df.checkpoint()
     }
+    // reliable checkpoints live as files in `dir`, not executor memory;
+    // retention is the caller's (or the dir's lifecycle's) concern
+    override def release(df: DataFrame): Unit = ()
   }
 }

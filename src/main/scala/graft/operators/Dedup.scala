@@ -427,9 +427,10 @@ object Dedup {
     val sym = ckpt.cut(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = ckpt.cut(
+    var cut = ckpt.cut(
       sym.select(col("src").as("doc")).distinct()
         .withColumn("label", col("doc")))
+    var labels = cut
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym
@@ -444,8 +445,11 @@ object Dedup {
         .select(col("doc"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       changed = next.filter(col("label") =!= col("old_label")).count()
+      ckpt.release(cut) // round k-1's blocks are dead once round k is cut
+      cut = next
       labels = next.select(col("doc"), col("label"))
     }
+    ckpt.release(sym) // the final labels frame is checkpointed on its own
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -507,6 +511,7 @@ object Dedup {
       val nextCount = next.count()
       done = nextCount == eCount &&
         next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      ckpt.release(e) // released only after the fixpoint check read it
       e = next
       eCount = nextCount
     }

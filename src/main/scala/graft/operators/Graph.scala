@@ -89,16 +89,22 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("r_src")).as("r"))
+      val prev = ranks
       ranks =
         if (!renormalize) ckpt.cut(raw)
         else {
           val cutRaw = ckpt.cut(raw)
           val sh = cutRaw.crossJoin(budget)
             .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
-          ckpt.cut(cutRaw.crossJoin(broadcast(sh))
+          val res = ckpt.cut(cutRaw.crossJoin(broadcast(sh))
             .select(col("node"), expr("shiftright(r, sh)").as("r")))
+          ckpt.release(cutRaw)
+          res
         }
+      ckpt.release(prev) // round k-1's ranks are dead once round k is cut
     }
+    ckpt.release(e)
+    if (renormalize && iters > 0) ckpt.release(budget)
     ranks
   }
 
@@ -151,11 +157,16 @@ object Graph {
         .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
       val shifted = cutRaw.crossJoin(broadcast(sh))
         .select(col("node"), expr("shiftright(r, sh)").as("r"))
+      val prev = ranks
       ranks = ckpt.cut(
         shifted.join(s1, Seq("node"), "full_outer")
           .select(col("node"),
             (coalesce(col("r"), lit(0L)) + coalesce(col("s"), lit(0L))).as("r")))
+      ckpt.release(cutRaw)
+      ckpt.release(prev)
     }
+    ckpt.release(e)
+    if (iters > 0) ckpt.release(budget)
     ranks
   }
 
@@ -233,9 +244,13 @@ object Graph {
             .select(col("dst").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
             .select(col("node"), lit(d).as("depth")))
+        val prevVisited = visited
         visited = cut.cut(visited.unionByName(next))
+        if (d > 1) cut.release(frontier) // depth-0 frontier IS visited v0
+        cut.release(prevVisited)
         frontier = next
       }
+      cut.release(frontier)
       visited.orderBy("depth", "node")
     }),
 
@@ -263,14 +278,18 @@ object Graph {
         .distinct())
       var nodes = cut.cut(und.select(col("src").as("node")).distinct())
       var surv: DataFrame = null
+      var prev: DataFrame = nodes
       for (_ <- 1 to 2) {
         surv = cut.cut(und
           .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 6))
+        cut.release(prev)
+        prev = surv
         nodes = surv.select("node")
       }
+      cut.release(und)
       surv.orderBy("node")
     }),
 
@@ -338,6 +357,7 @@ object Graph {
       for (_ <- 1 to 2) {
         val argmax = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy(desc("wsum"), col("lbl"))
+        val prev = labels
         labels = cut.cut(und
           .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
           .groupBy(col("src").as("node"), col("lbl"))
@@ -345,7 +365,9 @@ object Graph {
           .withColumn("rk", row_number().over(argmax))
           .filter(col("rk") === 1)
           .select("node", "lbl"))
+        cut.release(prev)
       }
+      cut.release(und)
       labels.orderBy("node")
     })
   )

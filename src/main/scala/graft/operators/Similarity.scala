@@ -53,14 +53,36 @@ object Similarity {
     * (degree gate, core-core edges, border assignment). */
   private def stagedNeardupPairs(s: SparkSession, dir: String): DataFrame =
     graft.core.Staged(s, s"$dir|neardup_pairs") {
-      val emb = withNorm(Tables.embeddings(s, dir))
+      val emb0 = withNorm(Tables.embeddings(s, dir))
+      // EXACT-VECTOR COLLAPSE before the LSH candidate join: identical
+      // float arrays — what a re-crawl multiplies — have identical band
+      // values, so running candidates + verify on one REPRESENTATIVE
+      // per distinct embedding changes NOTHING about which cross-group
+      // pairs surface (recall is a pure function of the arrays) while
+      // shrinking every (band, bval) bucket by the duplication factor —
+      // the bucket join's output is quadratic in bucket size, so k-way
+      // duplication cost k² before the collapse (the 10× soak measured
+      // this staging at ~88 s; the oracle replays the uncollapsed
+      // formulation, which is the proof the pair set is unchanged).
+      // Verified rep pairs then expand to member pairs through the
+      // (vec_id, rep) map — output-proportional — and within-group
+      // pairs score as the group's self-cosine (the identical value the
+      // pairwise formula yields on equal arrays, NaN-excluded the same
+      // way for zero vectors).
+      val grp = emb0.groupBy("embedding")
+        .agg(min("vec_id").as("rep"), min("nrm").as("gnrm"))
+      val members = emb0.join(grp.select(col("embedding"), col("rep")), "embedding")
+        .select(col("rep"), col("vec_id"))
+      val reps = emb0.join(grp.select(col("embedding"), col("rep")), "embedding")
+        .filter(col("vec_id") === col("rep"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
       val bandVals = array((0 until NeardupBands).map(b =>
         VectorOps.signBucketAt(col("embedding"), b * NeardupBandBits, NeardupBandBits)): _*)
       // staged: the band table feeds BOTH the exact side and the 9x probe
       // side of the candidate join — unstaged, the 8-band sign explode
       // ran twice (the same convention as Dedup.stagedLshCandidates)
       val bx = graft.core.Staged(s, s"$dir|neardup_bands") {
-        emb.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
+        reps.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bval")))
       }
       // probe stream: each band value plus its 8 one-bit flips; an
       // exact-side row then equi-joins any probe within hamming <= 1
@@ -72,14 +94,34 @@ object Similarity {
         .join(probes, Seq("band", "bval"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      val repPairs = cand
+        .join(reps.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
           col("nrm").as("na")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        .join(reps.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
           col("nrm").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           (DotProductFloat(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
         .filter(col("score") >= 0.4)
+      // cross-group expansion: every member pair of a verified rep pair
+      // carries that pair's score (identical arrays ⇒ identical doubles)
+      val cross = repPairs
+        .join(members.select(col("rep").as("vec_a"), col("vec_id").as("ma")), "vec_a")
+        .join(members.select(col("rep").as("vec_b"), col("vec_id").as("mb")), "vec_b")
+        .select(least(col("ma"), col("mb")).as("vec_a"),
+          greatest(col("ma"), col("mb")).as("vec_b"), col("score"))
+      // within-group pairs: the pairwise formula on equal arrays is the
+      // group's self-cosine — dot/(nrm·nrm), NaN for zero vectors (and
+      // NaN >= 0.4 is false, exactly as the uncollapsed verify behaves)
+      val selfScore = grp.select(col("rep"),
+        (DotProductFloat(col("embedding"), col("embedding")) /
+          (col("gnrm") * col("gnrm"))).as("score"))
+        .filter(col("score") >= 0.4)
+      val within = members
+        .join(members.withColumnRenamed("vec_id", "vec_b"), "rep")
+        .filter(col("vec_id") < col("vec_b"))
+        .join(selfScore, "rep")
+        .select(col("vec_id").as("vec_a"), col("vec_b"), col("score"))
+      cross.unionByName(within)
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
     }
 
