@@ -25,6 +25,10 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench measures the SCALE shape: approx-by-design queries run their
+    // sketch alone, not sketch + exact-twin ε-gate (the gate is Verify's
+    // harness — see graft.core.ApproxGate).
+    spark.conf.set("graft.approx.exactGate", "false")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -99,12 +103,21 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the full line under the repo: the driver's output tail
+    // The driver keeps only a ~3 KB stdout TAIL: the full line above is
+    // ~5 KB at 182 queries, so the tail starts mid-line and structured
+    // parsing fails (BENCH_r08.json: "parsed": null). Emit a second,
+    // COMPACT line LAST — total, query count, errors, the 15 slowest
+    // rows, and a pointer to the persisted full file — small enough to
+    // survive the tail window intact, so the driver artifact parses.
+    // Persist the full line under the repo: the driver's output tail
     // truncates the per-query map past ~70 queries, and the judge needs
     // every row to audit regressions. SPARK_GRAFT_BENCH_OUT overrides the
     // destination; default is a timestamped file under bench_local/.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"bench_local/bench_${System.currentTimeMillis() / 1000}.json")
+    val slow = results.filter(_._3).sortBy(-_._2).take(15)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_err":${errors.size},"errors":$errJson,"slowest":$slow,"full":"$outPath","sf":"$sfDir"}""")
     try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -37,7 +37,21 @@ object CheckpointStrategy {
 
   case object Local extends CheckpointStrategy {
     override def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    override def release(df: DataFrame): Unit = { df.unpersist(): Unit }
+    // Dataset.unpersist only uncaches CacheManager-registered plans;
+    // localCheckpoint persists the underlying RDD directly, so freeing
+    // the blocks means unpersisting THAT RDD. A cut frame's analyzed
+    // plan is a LogicalRDD leaf wrapping it — walk the plan (covers
+    // frames derived from a cut, too) and unpersist every checkpointed
+    // RDD found. Blocking, so the loop's next round allocates against
+    // genuinely-freed storage rather than racing async removal.
+    override def release(df: DataFrame): Unit = {
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = true): Unit
+        case _ => ()
+      }
+      df.unpersist(): Unit
+    }
   }
 
   final case class Reliable(dir: String) extends CheckpointStrategy {

@@ -59,7 +59,7 @@ object Clustering {
     * FAIL LOUDLY via raise_error instead of wrapping silently on the
     * non-ANSI long→int cast (which would diverge from the oracle's
     * exact BIGINT arithmetic without any error). */
-  private def microQuant(emb: Column): Column =
+  private[operators] def microQuant(emb: Column): Column =
     transform(emb, x => {
       val micro = floor(x.cast("double") * lit(1e6)).cast("long")
       when(micro.between(Int.MinValue.toLong, Int.MaxValue.toLong), micro.cast("int"))
@@ -76,7 +76,7 @@ object Clustering {
   /** Nearest-centroid assignment, shuffle-free: crossJoin the one-row
     * broadcast centroid array, then a row-wise argmin over k struct
     * scores; ties break on the smaller cid (struct lexicographic min). */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centRow(cents)))
       .select(col("vec_id"), col("qarr"),
         array_min(transform(col("cents"), c =>
@@ -100,13 +100,13 @@ object Clustering {
 
   /** Quantized corpus + the two-Lloyd-round trained centroids — shared
     * between kmeans_lloyd and the trained-IVF search composition. */
-  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[operators] def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     trainedOn(Tables.embeddings(s, dir))
 
   /** Training over an arbitrary embedding slice — the generalization
     * ann_ivf_upsert needs to train on the BASE corpus only (k and the
     * seed centroids adapt to the slice's own cardinality). */
-  private def trainedOn(emb0: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def trainedOn(emb0: DataFrame): (DataFrame, DataFrame) = {
     val emb = emb0.select(col("vec_id"), microQuant(col("embedding")).as("qarr"))
     val cents0 = emb.crossJoin(broadcast(kRow(emb)))
       .filter(col("vec_id") >= CentBase && col("vec_id") < lit(CentBase.toLong) + col("k"))
@@ -146,6 +146,41 @@ object Clustering {
         .select(col("vec_id"), col("pr").getField("cid").as("cell"))
     }
 
+  /** The 80/20 base-slice split point as a GUARDED broadcast 1-row frame
+    * (column `s`): training on the base slice seeds centroids from
+    * vec_id CentBase..CentBase+k-1, and k must be computed from the
+    * slice's ACTUAL row count (count of rows with vec_id < s0) — the
+    * same quantity [[kRow]] uses — NOT from s0 itself: the two agree
+    * only when vec_ids are dense and 0-based, and a guard on s0 could
+    * pass while seed coverage silently fails (or raise spuriously) at
+    * the boundary. The assertion is direct: the number of base-slice
+    * rows landing in the seed id range [CentBase, CentBase+k) must
+    * equal k, else assignments would vanish against an under-seeded
+    * centroid set with no error — fail loudly in-plan instead (same
+    * pattern as powerIterate's budget guard and microQuant's overflow
+    * guard). Three tiny vec_id-only aggregates, each broadcast as one
+    * row. Shared by ann_ivf_upsert and the persisted-index lifecycle
+    * ([[AnnIndex]]). */
+  private[operators] def upsertSplit(emb: DataFrame): DataFrame = {
+    val split0 = emb.agg(expr("cast((count(1) * 4) div 5 as bigint)").as("s0"))
+    val withK = emb.crossJoin(broadcast(split0))
+      .agg(first(col("s0")).as("s0"),
+        count(when(col("vec_id") < col("s0"), 1)).as("n_base"))
+      .select(col("s0"), greatest(lit(MinK.toLong),
+        floor(sqrt(col("n_base").cast("double"))).cast("long")).as("k"))
+    emb.crossJoin(broadcast(withK))
+      .agg(first(col("s0")).as("s0"), first(col("k")).as("k"),
+        count(when(col("vec_id") >= CentBase &&
+          col("vec_id") < lit(CentBase.toLong) + col("k") &&
+          col("vec_id") < col("s0"), 1)).as("seed_n"))
+      .select(when(col("seed_n") === col("k"), col("s0"))
+        .otherwise(raise_error(concat(
+          lit("ann_ivf_upsert: base slice covers "), col("seed_n").cast("string"),
+          lit(" of "), col("k").cast("string"),
+          lit(s" centroid seed ids in [$CentBase, $CentBase+k)"))).cast("long"))
+        .as("s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Two Lloyd rounds from deterministic seeds (vec_id 16..16+k-1,
@@ -179,22 +214,7 @@ object Clustering {
     // entire steady-state write path of an IVF store.)
     "ann_ivf_upsert" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // GUARD: training on the base slice seeds centroids from vec_id
-      // CentBase..CentBase+k-1 (k = greatest(MinK, floor(sqrt(0.8N)))).
-      // If the slice ends before the seed range does, the centroid set
-      // would be silently empty and every assignment would vanish with
-      // no error — fail loudly in-plan instead (same pattern as
-      // powerIterate's budget guard and microQuant's overflow guard).
-      val split = emb.agg(expr("cast((count(1) * 4) div 5 as bigint)").as("s0"))
-        .select(when(
-          col("s0") >= lit(CentBase.toLong) + greatest(lit(MinK.toLong),
-            floor(sqrt(col("s0").cast("double"))).cast("long")),
-          col("s0"))
-          .otherwise(raise_error(concat(
-            lit("ann_ivf_upsert: base slice too small to cover centroid seeds "),
-            lit(s"(need >= $CentBase + k rows, have "), col("s0").cast("string"),
-            lit(")"))).cast("long"))
-          .as("s"))
+      val split = upsertSplit(emb)
       val base = emb.crossJoin(broadcast(split))
         .filter(col("vec_id") < col("s")).select("vec_id", "embedding")
       val (_, cents1) = trainedOn(base)

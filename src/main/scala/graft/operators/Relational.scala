@@ -716,13 +716,22 @@ object Relational {
       salted.groupBy("word").agg(sum("partial").as("cnt")).orderBy("word")
     }),
 
-    // HLL sketch distinct, ORACLE-GATED: the sketch estimate is checked
-    // IN-PLAN against the exact distinct (within 15% = 3σ of the default
-    // 5% rsd — raise_error on violation), and the emitted row carries
-    // the exact count, so DuckDB replays the full result while the
-    // approx path still runs and is still bounded on every execution.
+    // HLL sketch distinct. Under Verify (graft.approx.exactGate=true,
+    // the default) the sketch estimate is checked IN-PLAN against the
+    // exact distinct (within 15% = 3σ of the default 5% rsd —
+    // raise_error on violation) and the emitted row carries the exact
+    // count, so DuckDB replays the full result with zero exemptions.
+    // Under Bench/Soak (gate=false) the plan is the SKETCH ALONE — the
+    // fixed-memory partial-agg shape a 100 TB run would use; the gate's
+    // exact twin is a verification harness, not the scale path (see
+    // graft.core.ApproxGate).
     "agg_approx_distinct" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
+      if (!graft.core.ApproxGate.exactGate(s))
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("n_parts"))
+          .orderBy("l_returnflag")
+      else Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           approx_count_distinct(col("l_partkey")).as("approx"))
@@ -738,15 +747,26 @@ object Relational {
 
     // Approximate percentiles (Spark's GK sketch — the fixed-memory
     // scale twin of agg_percentiles, the form a 100 TB latency/price
-    // distribution question actually runs), ORACLE-GATED the same way:
-    // the estimate must land within 2% of the exact interpolated
-    // percentile in-plan (accuracy 10000 ⇒ rank error ≤ 1e-4·n, far
-    // tighter than 2% in value on this distribution), and the emitted
-    // row carries the exact percentiles for DuckDB to replay.
+    // distribution question actually runs). Gated under Verify the same
+    // way as agg_approx_distinct: the estimate must land within 2% of
+    // the exact interpolated percentile in-plan (accuracy 10000 ⇒ rank
+    // error ≤ 1e-4·n, far tighter than 2% in value on this
+    // distribution), and the emitted row carries the exact percentiles
+    // for DuckDB to replay. Bench/Soak run the sketch alone (see
+    // graft.core.ApproxGate) so the measured cost is the bounded-memory
+    // scale shape, not exact+sketch doubled up.
     "agg_approx_percentile" -> ((s, dir) => {
       def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
         abs(a - e) <= abs(e) * 0.02
-      Tables.lineitem(s, dir)
+      if (!graft.core.ApproxGate.exactGate(s))
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("apcts"))
+          .select(col("l_returnflag"),
+            round(element_at(col("apcts"), 1), 2).as("p50"),
+            round(element_at(col("apcts"), 2), 2).as("p95"))
+          .orderBy("l_returnflag")
+      else Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("apcts"),

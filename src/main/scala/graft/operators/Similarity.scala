@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{CodeLookupSum, DotProductFloat, DotProductInt, VectorOps}
+import graft.sources.VersionedStore
 
 /** Similarity search over the embeddings table.
   *
@@ -364,6 +365,66 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // PERSISTED-INDEX serve — the lifecycle the trained variants lack:
+    // the first execution anywhere trains once and lands the index as
+    // VersionedStore v1 (AnnIndex.ensureFull); every later execution —
+    // any session, any JVM — SKIPS training and serves against the
+    // STORED inverted file (readLatest, so index upserts are picked up).
+    // Search shape is identical to ann_ivf_trained_topk, and because
+    // training is deterministic the stored assignment equals the
+    // freshly-trained one — so the oracle replays training via the same
+    // shared CTE chain and the hash check proves the round trip through
+    // storage changed nothing. Cross-session reuse (and that serving
+    // genuinely reads the store, not a retrain) is pinned in
+    // AnnIndexSpec via a tampered-version probe.
+    "ann_ivf_persisted_topk" -> ((s, dir) => {
+      val stored = VersionedStore.readLatest(s,
+        s"${graft.operators.AnnIndex.ensureFull(s, dir)}/assign")
+      val emb = withNorm(Tables.embeddings(s, dir))
+      val assigned = emb.join(stored, "vec_id")
+      val q = assigned.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell"))
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (DotProductFloat(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("score"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PERSISTED-INDEX upsert — version N+1 of the stored inverted file:
+    // the "arriving" 20% batch is assigned against the STORED centroids
+    // (v1 of the base-slice index — no retraining, per-batch cost ∝
+    // batch exactly like ann_ivf_upsert), the merged assignment lands
+    // as v=2 via the idempotent writeBatch (a re-run overwrites its own
+    // version, never appends a duplicate), and the OUTPUT is read back
+    // from the stored v=2 — the hash check therefore proves the full
+    // write→read round trip, not just the in-memory fold. Same oracle
+    // as ann_ivf_upsert: stored centroids ≡ freshly-trained ones.
+    "ann_ivf_persisted_upsert" -> ((s, dir) => {
+      val base = graft.operators.AnnIndex.ensureBase80(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val split = Clustering.upsertSplit(emb)
+      val cents = VersionedStore.readVersion(s, s"$base/cents", 1L)
+      val newVecs = emb.crossJoin(broadcast(split))
+        .filter(col("vec_id") >= col("s"))
+        .select(col("vec_id"), Clustering.microQuant(col("embedding")).as("qarr"))
+      val newAssign = Clustering.assign(newVecs, cents)
+        .select(col("vec_id"), col("cell"))
+      val v1 = VersionedStore.readVersion(s, s"$base/assign", 1L)
+      VersionedStore.writeBatch(v1.unionByName(newAssign), s"$base/assign", 1L): Unit
+      VersionedStore.readVersion(s, s"$base/assign", 2L)
+        .crossJoin(broadcast(split)).filter(col("vec_id") >= col("s"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // BATCH trained-IVF search — the QUERY-AXIS scale path the broadcast
     // variants don't prove: here the query set is the WHOLE corpus
     // (every vector retrieves its top-3 cellmates — the shape of
@@ -676,7 +737,14 @@ object Similarity {
     val candSql = variants.map(v =>
       s"  SELECT '$v' AS variant, query_id, vec_id FROM (\n${base(v)}\n) ${v}_t")
       .mkString("\n  UNION ALL\n")
-    base + ("ann_recall_eval" ->
+    base +
+      // persisted-index twins: training is deterministic, so the stored
+      // artifact's content equals a fresh train — the oracles ARE the
+      // retrain-replaying ones, and a hash match proves storage round
+      // trips exactly
+      ("ann_ivf_persisted_topk" -> base("ann_ivf_trained_topk")) +
+      ("ann_ivf_persisted_upsert" -> Clustering.oracles("ann_ivf_upsert")) +
+      ("ann_recall_eval" ->
       s"""WITH exact AS (SELECT query_id, vec_id FROM (
          |${base("ann_cosine_topk")}
          |) exact_t),

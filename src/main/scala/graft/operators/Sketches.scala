@@ -65,17 +65,22 @@ object Sketches {
 
     // Mergeable HLL distinct: per-status customer sketches unioned into
     // a global estimate — the re-aggregatable rollup pattern (store the
-    // sketch, answer distinct questions without rescanning). ORACLE-
-    // GATED: the union estimate is asserted within 5% (~3σ at lgK=12)
-    // of the exact distinct IN-PLAN (raise_error on violation) and the
-    // emitted row carries the exact count for DuckDB to replay — the
-    // sketch path still runs and is still bounded on every execution.
+    // sketch, answer distinct questions without rescanning). Under
+    // Verify (default) the union estimate is asserted within 5% (~3σ at
+    // lgK=12) of the exact distinct IN-PLAN (raise_error on violation)
+    // and the emitted row carries the exact count for DuckDB to replay;
+    // under Bench/Soak (graft.approx.exactGate=false) the plan is the
+    // sketch chain alone — the mergeable fixed-memory rollup shape that
+    // is the whole point of storing sketches at 100 TB (see
+    // graft.core.ApproxGate).
     "hll_union_distinct" -> ((s, dir) => {
       val est = Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      Tables.orders(s, dir)
+      if (!graft.core.ApproxGate.exactGate(s))
+        est.select(col("est").as("distinct_customers"))
+      else Tables.orders(s, dir)
         .agg(countDistinct(col("o_custkey")).as("distinct_customers"))
         .crossJoin(broadcast(est))
         .select(col("distinct_customers"),

@@ -39,6 +39,14 @@ object VersionedStore {
 
   def listVersions(base: String): Seq[Long] = versionDirs(base).map(_._1)
 
+  /** True iff `v=<version>` exists AND carries the committer's _SUCCESS
+    * marker — i.e. the snapshot write ran to completion. A directory
+    * without the marker is a crashed write: callers deciding whether a
+    * seed/first write already happened must use this, not bare
+    * directory existence, or a half-written snapshot becomes permanent. */
+  def isComplete(base: String, version: Long): Boolean =
+    Files.exists(Paths.get(base, s"v=$version", "_SUCCESS"))
+
   /** One row per stored version with file count and byte size — the
     * analogue of the reference DFS's `ls` listing (its client prints
     * each stored replica per sdfs name, `dfs/dfs_client.py:146-157`);

@@ -57,9 +57,13 @@ object CdcApply {
   def start(spark: SparkSession, template: DataFrame, seedState: DataFrame,
             inDir: String, outBase: String, checkpointDir: String,
             maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    // seed v=0 (pre-state of batch 0) exactly once — on restart the
-    // existing immutable v=0 wins and the supplied seed is ignored
-    if (!VersionedStore.listVersions(outBase).contains(0L))
+    // seed v=0 (pre-state of batch 0) exactly once — on restart a
+    // COMPLETE v=0 (committer's _SUCCESS marker present) wins and the
+    // supplied seed is ignored. A bare v=0 directory without the marker
+    // is a crash mid-first-seed: rewrite it (overwrite mode repairs the
+    // half-written snapshot; nothing downstream can have read it, since
+    // batch 0 only starts after the seed commit).
+    if (!VersionedStore.isComplete(outBase, 0L))
       VersionedStore.writeBatch(seedState, outBase, -1L): Unit
     spark.readStream
       .schema(template.schema)

@@ -46,6 +46,10 @@ object Soak {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Soak measures scale survival of the SCALE shape: approx queries
+    // run their sketch alone (see graft.core.ApproxGate); Verify keeps
+    // the ε-gated form for the correctness gate.
+    spark.conf.set("graft.approx.exactGate", "false")
 
     val outFile = new java.io.File(outPath)
     Option(outFile.getParentFile).foreach(_.mkdirs())

@@ -55,14 +55,15 @@ class PlanAuditSpec extends SparkSpec {
         case h: ResolvedHint
             if h.hints.strategy.contains(
               org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
-          val leafTables = h.child.collectLeaves().flatMap {
+          val leafPaths = h.child.collectLeaves().flatMap {
             case lr: LogicalRelation => lr.relation match {
-              case fs: HadoopFsRelation =>
-                fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+              case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
               case _ => Nil
             }
             case _ => Nil
-          }.toSet
+          }
+          val leafTables = leafPaths
+            .map(_.split('/').last.stripSuffix(".parquet")).toSet
           // the TOPMOST Aggregate bounds the hinted side only if it is
           // scalar (no grouping — one row) or groups exclusively on
           // fixed-geometry keys; any Aggregate is NOT enough — a forced
@@ -90,8 +91,14 @@ class PlanAuditSpec extends SparkSpec {
           // (e.g. the trained-IVF (vec_id, cell) assignment); a staged
           // leaf joined under the pinning vec_id filter is bounded the
           // same way the embeddings leaf is
-          val embeddingsLike =
-            leafTables.forall(t => t == "embeddings" || t.startsWith("graft-stage"))
+          // ...and the persisted ANN index store is the same class of
+          // artifact as a staged derivation, just with a cross-session
+          // lifecycle: its assignment is one (vec_id, cell) row per
+          // corpus vector, bounded here by the same pinning vec_id
+          // filter as the embeddings leaf it joins
+          val embeddingsLike = leafPaths.forall(p =>
+            p.endsWith("embeddings.parquet") || p.contains("graft-stage") ||
+              p.contains("graft-ann-index"))
           val ok = leafTables.subsetOf(bounded) || aggOk || limitOk ||
             (filterOk && embeddingsLike)
           assert(ok, s"$name forces a broadcast hint on sf-scaling " +
