@@ -37,4 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench run). Give codegen room + let the cache recycle.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // The round-9 staging A/B profile (bench_local/profile_staging_r9.jsonl)
+  // pinned the 45-155 s swing on identical cold runs to C2 compilation:
+  // compiler-thread time tracks the wall-time inflation ~1:1 while host
+  // steal stays <3% and GC <10 s. With 32 worker threads and a handful
+  // of default compiler threads the compile queue drains slowly and hot
+  // loops run interpreted for tens of seconds. More compiler threads
+  // shorten the storm on this 32-core box.
+  "-XX:CICompilerCount=12",
 )

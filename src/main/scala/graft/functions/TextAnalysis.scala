@@ -175,6 +175,31 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NO-SILENT-CAPS REPORT: the char-position explodes (the bigram
+    // scans here and Dedup's 20-char substring grams) bound their
+    // fan-out at 8192 positions per doc, so statistics over docs longer
+    // than cap+L-1 chars are computed on a prefix. The cap is replayed
+    // verbatim by every consumer's oracle (nothing drifts) — this query
+    // makes it OBSERVABLE: per cap site, how many docs participate, how
+    // many are prefix-truncated, and how many scan positions the cap
+    // dropped. An operator reads n_docs_truncated > 0 as "raise the cap
+    // or pre-chunk long docs (text_chunk_* is the chunked path)".
+    "corpus_cap_report" -> ((s, dir) => {
+      val lens = Tables.documents(s, dir).select(length(col("text")).as("len"))
+      def site(name: String, l: Int) =
+        lens.filter(col("len") >= l)
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("len") - (l - 1) > 8192, 1)).as("n_docs_truncated"),
+            coalesce(sum(greatest(lit(0L),
+              (col("len") - (l - 1)).cast("long") - 8192L)), lit(0L))
+              .as("positions_lost"))
+          .select(lit(name).as("site"), lit(8192L).as("cap"),
+            col("n_docs"), col("n_docs_truncated"), col("positions_lost"))
+      site("char_bigram_scan", 2)
+        .unionByName(site("substring_grams_l20", 20))
+        .orderBy("site")
+    }),
+
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(
@@ -795,6 +820,22 @@ object TextAnalysis {
        |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "corpus_cap_report" ->
+      """WITH lens AS (SELECT length(text) AS len FROM documents),
+        |s1 AS (
+        |  SELECT 'char_bigram_scan' AS site, CAST(8192 AS BIGINT) AS cap,
+        |         count(*) AS n_docs,
+        |         count(*) FILTER (WHERE len - 1 > 8192) AS n_docs_truncated,
+        |         CAST(coalesce(sum(greatest(0, CAST(len - 1 AS BIGINT) - 8192)), 0) AS BIGINT) AS positions_lost
+        |  FROM lens WHERE len >= 2),
+        |s2 AS (
+        |  SELECT 'substring_grams_l20' AS site, CAST(8192 AS BIGINT) AS cap,
+        |         count(*) AS n_docs,
+        |         count(*) FILTER (WHERE len - 19 > 8192) AS n_docs_truncated,
+        |         CAST(coalesce(sum(greatest(0, CAST(len - 19 AS BIGINT) - 8192)), 0) AS BIGINT) AS positions_lost
+        |  FROM lens WHERE len >= 20)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY site""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          |       len(string_split(text, ' ')) AS n_tokens,

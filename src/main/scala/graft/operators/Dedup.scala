@@ -730,11 +730,56 @@ object Dedup {
       docsParallel(s, dir)
         .filter(length(col("text")) >= L)
         .select(col("doc_id"),
+          // 8192-position fan-out cap — NOT silent: corpus_cap_report
+          // counts the docs and positions it truncates, and every
+          // consumer's oracle replays the same cap
           explode(sequence(lit(1),
             least(length(col("text")) - (L - 1), lit(8192)))).as("pos"),
           col("text"))
         .select(col("doc_id"), hash60(expr(s"substring(text, pos, $L)")).as("hg"))
     }
+
+  /** In-plan output-cardinality guard for the PAIR-EMITTING diagnostics
+    * (`dedup_simhash_pairs`, `dedup_containment`). Their output is
+    * Θ(dup²) on k-way duplicate cliques — fine as small-corpus
+    * diagnostics, an output bottleneck on a re-crawl-shaped 100 TB
+    * corpus — and each has an O(docs) supersession
+    * (`dedup_simhash_clusters`, `dedup_containment_topk`). The guard
+    * makes the pair forms impossible to run BLIND at scale: a cheap
+    * pre-aggregate estimates the pair cardinality, and the output
+    * raise_errors when the estimate exceeds `graft.pairs.budget`
+    * (default 10⁹) — the same in-plan-guard pattern as ann_ivf_upsert's
+    * seed-coverage check. Deliberately an explicit escape hatch: an
+    * operator who has sized the run raises the budget in one conf.
+    * When the estimate is within budget the wrapped column passes
+    * through untouched, so shipped-SF oracles are unchanged. */
+  private def withPairBudget(out: DataFrame, est: DataFrame,
+                             query: String, keyCol: String): DataFrame = {
+    val budget = out.sparkSession.conf.get("graft.pairs.budget", "1000000000").toLong
+    val dt = out.schema(keyCol).dataType
+    out.crossJoin(broadcast(est))
+      .withColumn(keyCol,
+        when(col("pair_est") <= budget, col(keyCol))
+          .otherwise(raise_error(concat(
+            lit(s"$query: estimated pair output "), col("pair_est").cast("string"),
+            lit(s" exceeds graft.pairs.budget=$budget - use the O(docs) twin " +
+              "(dedup_simhash_clusters / dedup_containment_topk) or raise the budget")))
+            .cast(dt)))
+      .drop("pair_est")
+  }
+
+  /** Upper bound on the banded simhash pair count WITHOUT running the
+    * pair join: Σ over (band, value) buckets of n·(n-1)/2 — the
+    * candidate pairs the band equi-join would enumerate (true output is
+    * the hamming≤3 subset). One narrow aggregate over the staged
+    * fingerprints. */
+  private def simhashPairBound(s: SparkSession, dir: String): DataFrame =
+    stagedSimhash(s, dir)
+      .select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("sig"))): _*)).as("e"))
+      .groupBy("e").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("pair_est"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -977,10 +1022,16 @@ object Dedup {
       // bit-identical across engines, while round() on a small-integer
       // ratio that lands exactly on .xxxxxx5 (e.g. 103/128) splits
       // HALF_UP vs nearbyint
-      fwd.union(rev)
+      val pairs = fwd.union(rev)
         .filter(col("containment") >= 0.8)
         .select(col("src_doc"), col("dst_doc"), col("containment"))
         .orderBy("src_doc", "dst_doc")
+      // budget guard: the qualifying-pair count is one cheap aggregate
+      // over the (already staged) shared-count parquet
+      withPairBudget(pairs,
+        fwd.union(rev).filter(col("containment") >= 0.8)
+          .agg(count(lit(1)).as("pair_est")),
+        "dedup_containment", "src_doc")
     }),
 
     // Containment with BOUNDED emission — the re-crawl-shaped-corpus
@@ -1055,7 +1106,8 @@ object Dedup {
     // dedup_simhash_clusters below is the O(docs) form for
     // re-crawl-shaped corpora.
     "dedup_simhash_pairs" -> ((s, dir) =>
-      simhashPairs(s, dir).orderBy("doc_a", "doc_b")),
+      withPairBudget(simhashPairs(s, dir).orderBy("doc_a", "doc_b"),
+        simhashPairBound(s, dir), "dedup_simhash_pairs", "doc_a")),
 
     // The O(docs) resolution of the simhash graph — the shape that
     // SUPERSEDES the pair query on duplicate-heavy corpora: the pair

@@ -52,25 +52,47 @@ object StreamSoak {
     val corpusN = corpus.count()
     val copies = (docs.agg(max("doc_id")).collect()(0).getLong(0) / idBase).toInt
     log.println(s"""{"corpus":$corpusN,"ingest_copies":$copies}""")
+    // ~10% of each arriving copy is MUTATED (deterministic doc_id hash):
+    // a short appended suffix changes the shingle set while keeping
+    // Jaccard far above the 0.5 match threshold — so the exact-verify
+    // path computes real set intersections for those docs instead of
+    // the trivial identical-set case, and an exact-duplicate shortcut
+    // anywhere in the pipeline could not fake the near-dup work.
+    val mutated = pmod(crc32(col("doc_id").cast("string")), lit(10)) === 0
     for (i <- 1 to copies)
       docs.filter(col("doc_id") >= i * idBase && col("doc_id") < (i + 1) * idBase)
+        .withColumn("text", when(mutated,
+          concat(col("text"), lit(s" zq soakmut batch$i end"))).otherwise(col("text")))
         .coalesce(1).write.mode("append").parquet(inDir)
 
     val t0 = System.nanoTime()
     val q = IngestDedup.start(spark, corpus, inDir, outBase, ckpt)
     q.awaitTermination()
     val firstSec = (System.nanoTime() - t0) / 1e9
+    // per-batch wall clock from streaming progress: batch-proportional
+    // cost means these stay flat across triggers
+    for (p <- q.recentProgress)
+      log.println(s"""{"batch":${p.batchId},"trigger_ms":${
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L)},"rows":${p.numInputRows}}""")
     val versions = VersionedStore.listVersions(outBase).sorted
     var ok = versions.size == copies
     var minPairs = Long.MaxValue
+    var minNear = Long.MaxValue
     for (v <- versions) {
-      val n = VersionedStore.readVersion(spark, outBase, v).count()
+      val vdf = VersionedStore.readVersion(spark, outBase, v)
+      val n = vdf.count()
+      // mutated docs surface as near-dup (jaccard < 1) pairs — the
+      // verify path's evidence; exact copies pair at exactly 1.0
+      val near = vdf.filter(col("jaccard") < 1.0).count()
       minPairs = math.min(minPairs, n)
-      log.println(s"""{"version":$v,"pairs":$n}""")
+      minNear = math.min(minNear, near)
+      log.println(s"""{"version":$v,"pairs":$n,"near_pairs":$near}""")
     }
-    // every ingested doc is an exact copy of a corpus doc: each batch
-    // must report at least one pair per batch document
+    // every ingested doc is a copy (10% mutated) of a corpus doc: each
+    // batch must report at least one pair per batch document, and the
+    // ~10% mutated slice must land as genuine jaccard<1 near-dups
     ok &= minPairs >= corpusN
+    ok &= minNear >= corpusN / 20
 
     // restart on the same checkpoint: AvailableNow with nothing new must
     // terminate without writing any version
@@ -79,7 +101,7 @@ object StreamSoak {
     val versions2 = VersionedStore.listVersions(outBase).sorted
     ok &= versions2 == versions
     val secS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(firstSec))
-    log.println(s"""{"summary":true,"ok":$ok,"versions":${versions.size},"min_pairs":$minPairs,"first_run_sec":$secS,"replay_new_versions":${versions2.size - versions.size}}""")
+    log.println(s"""{"summary":true,"ok":$ok,"versions":${versions.size},"min_pairs":$minPairs,"min_near_pairs":$minNear,"first_run_sec":$secS,"replay_new_versions":${versions2.size - versions.size}}""")
     log.close()
     println(s"STREAM SOAK ok=$ok versions=${versions.size} minPairs=$minPairs sec=$secS")
     spark.stop()

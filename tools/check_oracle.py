@@ -7,12 +7,18 @@ Loads each <name>/ parquet result written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables, sorts
 columns by name, sorts rows, and diffs values.
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def table_pattern(sfdir, t):
+    # shipped testdata is one file per table; SoakGen dirs are Spark
+    # output directories of part files
+    p = f"{sfdir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -26,7 +32,7 @@ def canon(df):
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_pattern(sfdir, t)}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
