@@ -43,6 +43,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // steal stays <3% and GC <10 s. With 32 worker threads and a handful
   // of default compiler threads the compile queue drains slowly and hot
   // loops run interpreted for tens of seconds. More compiler threads
-  // shorten the storm on this 32-core box.
-  "-XX:CICompilerCount=12",
-)
+  // shorten the storm on this 32-core box. SPARK_GRAFT_CI_COUNT=0
+  // reverts to the JVM default — the A/B switch the round-10
+  // post-mitigation profile (profile_staging_r10.jsonl) flips.
+) ++ (sys.env.getOrElse("SPARK_GRAFT_CI_COUNT", "12") match {
+  case "0" => Seq.empty[String]
+  case n   => Seq(s"-XX:CICompilerCount=$n")
+})

@@ -11,13 +11,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table, an edge list) before fanning out at cluster scale. Keys are
   * (session id, caller key); every stage dir is purged when the JVM
   * exits.
+  *
+  * CRASH CONSISTENCY (round-9 finding): one OOM'd staging build once
+  * cascaded into PATH_NOT_FOUND for every later consumer of a
+  * previously-registered dir. Two rules prevent that class of failure:
+  * a dir is REGISTERED only after its build ran to completion (a
+  * `_GRAFT_STAGE_OK` marker is dropped as the final build step), and
+  * every lookup REVALIDATES the marker — a registration whose dir has
+  * vanished or was never completed is forgotten and rebuilt into a
+  * FRESH dir, so no consumer can ever read a half-written or deleted
+  * path. The marker (rather than parquet's _SUCCESS) also covers
+  * [[materialize]] callers that lay out multiple datasets or bucketed
+  * tables under one stage dir.
   */
 object Staged {
 
   private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // every dir ever handed to a build — purged at JVM exit whether the
+  // build succeeded, failed, or was abandoned by a revalidation miss
+  private val allDirs = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val Marker = "_GRAFT_STAGE_OK"
 
   sys.addShutdownHook {
-    dirs.values.foreach { d =>
+    allDirs.keys.foreach { d =>
       try {
         import java.nio.file.{Files, Paths}
         import scala.jdk.CollectionConverters._
@@ -27,6 +43,9 @@ object Staged {
       } catch { case _: Throwable => () }
     }
   }
+
+  private def complete(d: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(d, Marker))
 
   /** Stable unique id per session, minted once into the session-local
     * runtime conf — hashCode can collide and doesn't identify a session. */
@@ -47,11 +66,24 @@ object Staged {
   /** Generalized build-once: hand `build` a fresh temp dir on first use of
     * (session, key) and return that dir ever after — for stagings that are
     * not a plain parquet dump (partitioned layouts, bucketed tables). The
-    * dir joins the same shutdown-purge list as [[apply]]'s stages. */
-  def materialize(s: SparkSession, key: String)(build: String => Unit): String =
-    dirs.getOrElseUpdate(sessionId(s) + "|" + key, {
-      val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
-      build(d)
-      d
-    })
+    * dir joins the same shutdown-purge list as [[apply]]'s stages.
+    *
+    * A failed build registers NOTHING (its dir is abandoned to the exit
+    * purge); a registered dir that later fails revalidation (vanished,
+    * marker missing) is likewise abandoned and rebuilt fresh. */
+  def materialize(s: SparkSession, key: String)(build: String => Unit): String = {
+    val k = sessionId(s) + "|" + key
+    dirs.get(k) match {
+      case Some(d) if complete(d) => d
+      case stale =>
+        stale.foreach(d => dirs.remove(k, d))
+        dirs.getOrElseUpdate(k, {
+          val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
+          allDirs.put(d, ())
+          build(d)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(d, Marker))
+          d
+        })
+    }
+  }
 }

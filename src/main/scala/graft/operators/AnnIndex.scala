@@ -26,16 +26,34 @@ import graft.sources.VersionedStore
   * join; here the corpus parquet IS the vector store and the serve path
   * joins on vec_id — one co-partitioned shuffle join at scale.
   *
-  * Store identity: a corpus fingerprint (row count + vec_id checksum)
-  * stands in for the explicit corpus-version id a production pipeline
-  * carries — two different corpora (sf0.01 vs a 10× soak dir, or a
-  * regenerated testdata drop) can never alias each other's index. The
-  * fingerprint costs one tiny vec_id-only aggregate, computed once per
-  * (JVM, dir). First build is crash-safe the same way CdcApply's seed
-  * is: a version directory without the committer's _SUCCESS marker is
-  * rewritten (overwrite mode), never trusted.
+  * Store identity: a CONTENT fingerprint — row count plus the sum of
+  * xxhash64 over (vec_id, embedding) — salted with a training-algorithm
+  * version constant. Content (not id-checksum) hashing means a
+  * regenerated corpus that happens to preserve its vec_ids can never be
+  * served the stale corpus's index; the algorithm salt means a change
+  * to Lloyd training / microQuant / k selection retires every index the
+  * OLD math built instead of silently serving it (bump
+  * [[TrainAlgoVersion]] with any such change). The fingerprint costs
+  * one narrow aggregate scan, computed once per (JVM, dir).
+  *
+  * Durability: the store base defaults to `bench_local/ann_index` under
+  * the working directory — a cross-session artifact must not live in
+  * `java.io.tmpdir` (semantically ephemeral) and must not be written
+  * into the read-only corpus dir; override with the
+  * `graft.ann.index.base` session conf. First build is crash- AND
+  * race-safe: versions are published by atomic rename
+  * ([[VersionedStore.writeBatchAtomic]]) — two JVMs racing the first
+  * build (Bench and Verify on the same sf dir) each write a private
+  * scratch dir and the first rename wins; overwrite-mode racing could
+  * interleave delete/commit and leave a mix of both jobs' part files
+  * under one _SUCCESS marker.
   */
 object AnnIndex {
+
+  /** Bump whenever Clustering's training math changes (Lloyd rounds,
+    * microQuant, k selection, seeding) — retires stored indexes built
+    * by the old algorithm. */
+  private val TrainAlgoVersion = 1
 
   private val fpCache = TrieMap.empty[String, String]
 
@@ -43,22 +61,40 @@ object AnnIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Uncached content fingerprint — package-visible so the spec can
+    * pin the "same vec_ids, different vectors" regeneration scenario
+    * (cross-JVM in production, where fpCache doesn't exist yet). */
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String, flavor: String): String = {
+    // bounded 1-row fetch (the allowed driver-side pattern): corpus
+    // identity, not corpus data
+    // sum through decimal(38,0): ANSI mode makes a long sum of 2^63-range
+    // hashes overflow-strict, and the checksum only needs order-free
+    // content sensitivity, not modular arithmetic
+    val r = Tables.embeddings(s, dir)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("hv"))
+      .head()
+    md5hex(s"$dir|$flavor|algo$TrainAlgoVersion|${r.getLong(0)}|${r.get(1)}")
+  }
+
   private def storeBase(s: SparkSession, dir: String, flavor: String): String = {
-    val fp = fpCache.getOrElseUpdate(s"$dir|$flavor", {
-      // bounded 1-row fetch (the allowed driver-side pattern): corpus
-      // identity, not corpus data
-      val r = Tables.embeddings(s, dir)
-        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv")).head()
-      md5hex(s"$dir|$flavor|${r.getLong(0)}|${r.getLong(1)}")
-    })
-    s"${sys.props("java.io.tmpdir")}/graft-ann-index/$fp"
+    val fp = fpCache.getOrElseUpdate(s"$dir|$flavor", corpusFingerprint(s, dir, flavor))
+    // session conf → JVM property (suites isolating their store across
+    // newSession() boundaries, where session confs don't propagate) →
+    // durable default under the working directory
+    val root = s.conf.getOption("graft.ann.index.base")
+      .orElse(sys.props.get("graft.ann.index.base"))
+      .getOrElse(new java.io.File("bench_local/ann_index").getAbsolutePath)
+    s"$root/$fp"
   }
 
   private def writeV1(assign: DataFrame, cents: DataFrame, base: String): Unit = {
-    // writeBatch(batchId=0) → v=1 in overwrite mode: a crashed half-build
-    // (directory without _SUCCESS) is repaired on the next call
-    VersionedStore.writeBatch(assign, s"$base/assign", 0L): Unit
-    VersionedStore.writeBatch(cents, s"$base/cents", 0L): Unit
+    // batchId=0 → v=1, published by atomic rename: a crashed half-build
+    // (no _SUCCESS) is tombstoned and replaced on the next call; a
+    // concurrent complete build wins the rename and this one discards
+    VersionedStore.writeBatchAtomic(assign, s"$base/assign", 0L): Unit
+    VersionedStore.writeBatchAtomic(cents, s"$base/cents", 0L): Unit
   }
 
   private def built(base: String): Boolean =

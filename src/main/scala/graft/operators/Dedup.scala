@@ -234,6 +234,65 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
+  /** (doc_a, doc_b, shared, ca, cb) for every pair sharing at least one
+    * RARE (df <= cap) shingle, with `shared` counting over FULL shingle
+    * sets — the df-capped staging computed in ONE self-join instead of
+    * two. The round-9 30x soak OOM'd the previous formulation
+    * (sharedCountsFor over cappedCandidatesProportional): it ran the
+    * capped self-join for candidates, then a SECOND, UNCAPPED
+    * inverted-index self-join (full Σ df²/2 pair slots — 1.25e9 at the
+    * 150 k-doc soak corpus) whose output was shuffled WHOLE through a
+    * left-semi join against the equally-large candidate stream; the
+    * semi-join's per-partition hash build is what exhausted the heap.
+    * Here the capped self-join IS the shared counter:
+    *
+    *   shared(a,b) = sharedRare(a,b) + |stop(a) ∩ stop(b)|
+    *
+    *  - sharedRare comes straight off the rare-index self-join via a
+    *    partial-aggregating groupBy — candidacy (sharedRare >= 1) falls
+    *    out for free, no semi-join, and the quadratic slot stream is
+    *    map-side-combined and spillable instead of hash-table-resident;
+    *  - the stop-shingle contribution (df > cap shingles are excluded
+    *    from pair GENERATION but must still be COUNTED — scores use
+    *    full sets) is an array_intersect of per-doc stop-shingle sets
+    *    joined onto the already-aggregated pair table. Stop sets are
+    *    small by construction (at most vocabulary_postings/cap distinct
+    *    stop shingles corpus-wide), and they ride a per-doc side table,
+    *    never the pair stream.
+    *
+    * Output is value-identical to the old formulation (LlmOpsSpec pins
+    * pair-for-pair equality on a corpus WITH stop shingles), so the
+    * five consumer oracles replay unchanged. */
+  def cappedSharedCounts(sh: DataFrame, dfTab: DataFrame): DataFrame = {
+    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
+      .select(greatest(lit(64L),
+        expr("(n_docs + 199) div 200")).as("cap"))
+    val withCap = dfTab.crossJoin(broadcast(cap))
+    val rareIdx = sh.join(withCap.filter(col("df") <= col("cap"))
+      .select("shingle"), Seq("shingle"))
+    val pairsRare = rareIdx.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rareIdx.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
+    val stopSets = sh.join(withCap.filter(col("df") > col("cap"))
+        .select("shingle"), Seq("shingle"))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("stopset"))
+    // one per-doc side table (set size + stop set) joined twice, not four
+    // separate count/set joins shuffling the pair table each time
+    val docSide = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .join(stopSets, Seq("doc_id"), "left")
+    pairsRare
+      .join(docSide.select(col("doc_id").as("doc_a"),
+        col("c").as("ca"), col("stopset").as("sa")), "doc_a")
+      .join(docSide.select(col("doc_id").as("doc_b"),
+        col("c").as("cb"), col("stopset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared_rare") + when(col("sa").isNull || col("sb").isNull, lit(0))
+          .otherwise(size(array_intersect(col("sa"), col("sb")))).cast("bigint"))
+          .as("shared"),
+        col("ca"), col("cb"))
+  }
+
   private def cappedCandidatesBy(sh: DataFrame, maxDf: org.apache.spark.sql.Column): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -660,8 +719,53 @@ object Dedup {
   def stagedCappedShared(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|cappedshared|prop") {
       val sh = stagedShingles(s, dir)
-      sharedCountsFor(cappedCandidatesProportional(sh), sh)
+      val dfTab = stagedShingleDf(s, dir)
+      withStageBudget(cappedSharedCounts(sh, dfTab),
+        cappedVolumeBound(sh, dfTab), "stagedCappedShared", "shared")
     }
+  /** Shingle document-frequency table staged once: the capped staging
+    * reads it twice (rare filter + stop filter) and the staging-volume
+    * budget aggregates it a third time — unstaged, each reference
+    * re-shuffles the full posting stream. */
+  def stagedShingleDf(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|shingledf")(
+      stagedShingles(s, dir).groupBy("shingle").agg(count(lit(1)).as("df")))
+  /** Upper bound on the capped staging's self-join volume WITHOUT
+    * running it: Σ over rare (df <= cap) shingles of df·(df-1)/2 — the
+    * exact number of pair slots the rare-index self-join enumerates.
+    * One aggregate over the staged df table. */
+  private def cappedVolumeBound(sh: DataFrame, dfTab: DataFrame): DataFrame = {
+    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
+      .select(greatest(lit(64L),
+        expr("(n_docs + 199) div 200")).as("cap"))
+    dfTab.crossJoin(broadcast(cap))
+      .agg(coalesce(sum(when(col("df") <= col("cap"),
+        expr("(df * (df - 1)) div 2")).otherwise(0L)), lit(0L)).as("pair_est"))
+  }
+  /** In-plan WORK budget for the capped staging build — the intermediate
+    * twin of [[withPairBudget]] (which bounds OUTPUT cardinality, not
+    * join memory/work — the round-9 30x OOM hit the intermediate, which
+    * an output budget cannot see). The rare self-join's slot volume is
+    * known exactly from the df table before any pair is generated; past
+    * `graft.stage.budget` (default 10^10 — a time bound, not a heap
+    * bound, now that the slot stream is map-side-combined and
+    * spillable) the staging build raise_errors and points at the
+    * lossless prefix path, whose candidate volume does not carry the
+    * df² factor. */
+  private def withStageBudget(out: DataFrame, est: DataFrame,
+                              what: String, keyCol: String): DataFrame = {
+    val budget = out.sparkSession.conf.get("graft.stage.budget", "10000000000").toLong
+    val dt = out.schema(keyCol).dataType
+    out.crossJoin(broadcast(est))
+      .withColumn(keyCol,
+        when(col("pair_est") <= budget, col(keyCol))
+          .otherwise(raise_error(concat(
+            lit(s"$what: capped self-join volume "), col("pair_est").cast("string"),
+            lit(s" exceeds graft.stage.budget=$budget - use the lossless prefix " +
+              "path (dedup_ngram_jaccard_prefix) or raise the budget")))
+            .cast(dt)))
+      .drop("pair_est")
+  }
   /** LSH candidate pairs staged per band shape: the tuning sweep consumes
     * each config's candidate set twice (candidate count + exact verify) and
     * the shipped 4×4 set is ALSO consumed by dedup_minhash_lsh and
@@ -752,7 +856,13 @@ object Dedup {
     * seed-coverage check. Deliberately an explicit escape hatch: an
     * operator who has sized the run raises the budget in one conf.
     * When the estimate is within budget the wrapped column passes
-    * through untouched, so shipped-SF oracles are unchanged. */
+    * through untouched, so shipped-SF oracles are unchanged.
+    *
+    * SCOPE: this bounds the OUTPUT cardinality only — it cannot see the
+    * memory/work of the joins that PRODUCE the pairs (the round-9 30x
+    * OOM was an intermediate, hit before any output row existed).
+    * Intermediate volume is guarded separately at its source:
+    * [[withStageBudget]] on the capped staging build. */
   private def withPairBudget(out: DataFrame, est: DataFrame,
                              query: String, keyCol: String): DataFrame = {
     val budget = out.sparkSession.conf.get("graft.pairs.budget", "1000000000").toLong
@@ -1026,11 +1136,14 @@ object Dedup {
         .filter(col("containment") >= 0.8)
         .select(col("src_doc"), col("dst_doc"), col("containment"))
         .orderBy("src_doc", "dst_doc")
-      // budget guard: the qualifying-pair count is one cheap aggregate
-      // over the (already staged) shared-count parquet
+      // budget guard: the qualifying-pair count in ONE aggregate pass
+      // over the staged shared-count parquet (both directions summed in
+      // the same scan — the union form read the artifact twice)
       withPairBudget(pairs,
-        fwd.union(rev).filter(col("containment") >= 0.8)
-          .agg(count(lit(1)).as("pair_est")),
+        shared.agg(coalesce(
+          sum(when(col("shared").cast("double") / col("ca") >= 0.8, 1L).otherwise(0L)) +
+            sum(when(col("shared").cast("double") / col("cb") >= 0.8, 1L).otherwise(0L)),
+          lit(0L)).as("pair_est")),
         "dedup_containment", "src_doc")
     }),
 

@@ -418,7 +418,11 @@ object Similarity {
       val newAssign = Clustering.assign(newVecs, cents)
         .select(col("vec_id"), col("cell"))
       val v1 = VersionedStore.readVersion(s, s"$base/assign", 1L)
-      VersionedStore.writeBatch(v1.unionByName(newAssign), s"$base/assign", 1L): Unit
+      // atomic publish: a complete v2 is reused as-is (content is
+      // deterministic), a racing writer loses the rename harmlessly —
+      // overwrite mode here could interleave two JVMs' delete/commit
+      // into a mixed part-file set
+      VersionedStore.writeBatchAtomic(v1.unionByName(newAssign), s"$base/assign", 1L): Unit
       VersionedStore.readVersion(s, s"$base/assign", 2L)
         .crossJoin(broadcast(split)).filter(col("vec_id") >= col("s"))
         .select(col("vec_id"), col("cell").cast("long").as("cell"))

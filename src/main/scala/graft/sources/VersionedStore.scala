@@ -96,6 +96,43 @@ object VersionedStore {
     v
   }
 
+  /** Race- and crash-safe variant of [[writeBatch]] for DETERMINISTIC
+    * snapshot content (same inputs ⇒ bit-identical rows, the contract
+    * every graft index build meets): the snapshot is written to a
+    * scratch dir UNDER the store base and atomically RENAMED into
+    * `v=<batchId+1>` — first writer wins. [[writeBatch]]'s overwrite
+    * mode lets two JVMs racing the same version interleave
+    * delete/commit and leave a MIX of both jobs' part files under one
+    * _SUCCESS marker (duplicated rows that isComplete then trusts
+    * forever); a rename publishes all-or-nothing. An already COMPLETE
+    * target is left untouched and the write skipped entirely
+    * (idempotent re-runs are free); an INCOMPLETE leftover (crashed
+    * writer) is tombstoned and replaced. */
+  def writeBatchAtomic(df: DataFrame, base: String, batchId: Long): Long = {
+    val v = batchId + 1
+    if (isComplete(base, v)) return v
+    val scratch = Paths.get(base, s".build-v$v-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    val target = Paths.get(base, s"v=$v")
+    // a half-written target (no _SUCCESS) blocks the rename: tombstone
+    // it the same way deleteVersion does
+    if (Files.isDirectory(target) && !isComplete(base, v)) {
+      val tomb = Paths.get(base, s".deleting-v$v-${System.nanoTime()}")
+      try { Files.move(target, tomb); reclaim(tomb) }
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    try Files.move(scratch, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.io.IOException =>
+        // lost the publish race: fine IFF the winner's version is
+        // complete (content is deterministic); anything else is a real
+        // filesystem failure and must surface
+        reclaim(scratch)
+        if (!isComplete(base, v)) throw e
+    }
+    v
+  }
+
   /** Latest-wins upsert — the MERGE INTO shape without a table format:
     * incoming rows replace same-key rows of the latest snapshot, all
     * other rows carry forward, and the result lands as the next

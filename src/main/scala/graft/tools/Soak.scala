@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   * sf0.1 bench time, and anything wildly super-linear (or timed out) is
   * a scale cliff the small-SF bench hid.
   *
+  * FAILURE ISOLATION (round-9 finding): an executor-thread OOM can stop
+  * the local-mode SparkContext; the round-9 30x soak kept submitting
+  * queries to the dead context and recorded 7 spurious failures for one
+  * real one. Now every iteration checks `sparkContext.isStopped` after
+  * the query returns and REBUILDS the session before the next query —
+  * one blowup yields one failure row, and the rebuild is logged as its
+  * own JSONL line (`session_rebuilt`) so the artifact shows exactly
+  * where isolation kicked in. A rebuilt session re-stages its shared
+  * artifacts from scratch (Staged keys are session-scoped), so later
+  * queries never read a dir the dying session half-wrote.
+  *
   * Output rows are drained distributed through the same
   * `queryExecution.toRdd.foreach` full-materialization path as Bench,
   * with a LongAccumulator counting rows — cardinality is evidence (e.g.
@@ -27,14 +38,16 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.Soak [sfDir] [outJsonl] [name ...]
   * (trailing names restrict the soak to those queries — the incremental
   * re-soak path for queries added/changed since the last full run)
-  * Env: SPARK_GRAFT_SOAK_TIMEOUT (sec/query), SPARK_GRAFT_CPUS.
+  * Env: SPARK_GRAFT_SOAK_TIMEOUT (sec/query), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SOAK_CONF ("k=v,k=v" extra session confs — e.g. a tiny
+  * graft.stage.budget to induce a failure and prove isolation).
   */
 object Soak {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "bench_local/soak_sf1"
-    val outPath = if (args.length > 1) args(1) else "bench_local/soak_r7.jsonl"
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toLong
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Fresh soak session (also the rebuild path after a dead context). */
+  private[tools] def buildSession(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -50,6 +63,24 @@ object Soak {
     // run their sketch alone (see graft.core.ApproxGate); Verify keeps
     // the ε-gated form for the correctness gate.
     spark.conf.set("graft.approx.exactGate", "false")
+    for (kv <- sys.env.getOrElse("SPARK_GRAFT_SOAK_CONF", "").split(',') if kv.contains('='))
+      spark.conf.set(kv.takeWhile(_ != '='), kv.dropWhile(_ != '=').drop(1))
+    spark
+  }
+
+  /** The isolation primitive, factored out for SoakIsolationSpec: a live
+    * session passes through untouched; a stopped context is replaced by
+    * a fresh session so the next query runs against real infrastructure
+    * instead of cascading "stopped SparkContext" errors. */
+  private[tools] def ensureLive(spark: SparkSession, cpus: String): (SparkSession, Boolean) =
+    if (spark.sparkContext.isStopped) (buildSession(cpus), true) else (spark, false)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "bench_local/soak_sf1"
+    val outPath = if (args.length > 1) args(1) else "bench_local/soak_r7.jsonl"
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var spark = buildSession(cpus)
 
     val outFile = new java.io.File(outPath)
     Option(outFile.getParentFile).foreach(_.mkdirs())
@@ -69,20 +100,21 @@ object Soak {
     // a stuck worker thread (cancel not honored) must not block the rest
     // of the soak: abandon its executor and continue on a fresh one
     var exec = Executors.newSingleThreadExecutor()
-    var okN, errN, toN = 0
+    var okN, errN, toN, rebuilds = 0
     for (name <- names) {
-      val acc = spark.sparkContext.longAccumulator(s"rows_$name")
+      val s = spark // stable reference for the worker thread
+      val acc = s.sparkContext.longAccumulator(s"rows_$name")
       val t0 = System.nanoTime()
       val fut = exec.submit(new Callable[Unit] {
         def call(): Unit = {
           // job-group tagging is thread-local: set it on the thread that
           // actually triggers the jobs so cancelGroup reaches them
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          s.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           // bind to a call-local: referencing the outer `acc` field would
           // make the lambda capture this Callable (and its SparkSession),
           // which is not serializable
           val a = acc
-          graft.SparkEntry.queries(name)(spark, sfDir)
+          graft.SparkEntry.queries(name)(s, sfDir)
             .queryExecution.toRdd.foreach { _ => a.add(1L) }
         }
       })
@@ -90,7 +122,7 @@ object Soak {
         try { fut.get(timeoutSec, TimeUnit.SECONDS); ("ok", "") }
         catch {
           case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
+            s.sparkContext.cancelJobGroup(name)
             try fut.get(30, TimeUnit.SECONDS) catch { case _: Throwable => () }
             if (!fut.isDone) { exec.shutdownNow(); exec = Executors.newSingleThreadExecutor() }
             ("timeout", s"exceeded ${timeoutSec}s")
@@ -105,10 +137,19 @@ object Soak {
       val secS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec))
       log.println(s"""{"q":"$name","status":"$status","sec":$secS,"rows":${acc.value},"err":"${esc(err)}"}""")
       println(s"SOAK $name: $status ${secS}s rows=${acc.value} $err")
+      // failure isolation: a fatal error (OOM) that stopped the context
+      // must cost exactly one failure row, not the rest of the run
+      val (live, rebuilt) = ensureLive(spark, cpus)
+      if (rebuilt) {
+        spark = live
+        rebuilds += 1
+        log.println(s"""{"session_rebuilt":true,"after":"$name"}""")
+        println(s"SOAK session rebuilt after $name (context was stopped)")
+      }
     }
-    log.println(s"""{"summary":true,"sf":"$sfDir","queries":${names.size},"ok":$okN,"error":$errN,"timeout":$toN}""")
+    log.println(s"""{"summary":true,"sf":"$sfDir","queries":${names.size},"ok":$okN,"error":$errN,"timeout":$toN,"session_rebuilds":$rebuilds}""")
     log.close()
-    println(s"SOAK DONE ok=$okN error=$errN timeout=$toN -> $outPath")
+    println(s"SOAK DONE ok=$okN error=$errN timeout=$toN rebuilds=$rebuilds -> $outPath")
     spark.stop()
     // abandoned stuck threads would otherwise keep the JVM alive
     sys.exit(if (errN + toN == 0) 0 else 1)

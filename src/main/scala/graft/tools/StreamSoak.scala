@@ -58,12 +58,33 @@ object StreamSoak {
     // path computes real set intersections for those docs instead of
     // the trivial identical-set case, and an exact-duplicate shortcut
     // anywhere in the pipeline could not fake the near-dup work.
-    val mutated = pmod(crc32(col("doc_id").cast("string")), lit(10)) === 0
-    for (i <- 1 to copies)
-      docs.filter(col("doc_id") >= i * idBase && col("doc_id") < (i + 1) * idBase)
-        .withColumn("text", when(mutated,
+    // Only docs with >= 12 DISTINCT shingles are mutated (token count
+    // would not bound the distinct-shingle set on repetitive text): the
+    // alien 4-token suffix adds at most 4 new 3-grams and removes none,
+    // so a mutated doc scores J >= 12/16 = 0.75 — safely inside
+    // (0.5, 1): never below the match threshold (which would erode the
+    // >=1-pair-per-doc invariant) and never rounding to 1.0 at 6
+    // decimals (that would take > ~10^7 shingles in one doc).
+    val shCount = graft.operators.Dedup.shingles(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val eligible = coalesce(
+      pmod(crc32(col("doc_id").cast("string")), lit(10)) === 0 && col("n_sh") >= 12,
+      lit(false))
+    var minMutated = Long.MaxValue
+    for (i <- 1 to copies) {
+      val batch = docs.filter(col("doc_id") >= i * idBase && col("doc_id") < (i + 1) * idBase)
+        .join(shCount, Seq("doc_id"), "left")
+        .withColumn("mut", eligible)
+      // the near-pair floor comes from the ACTUAL mutated-doc count per
+      // batch, not a corpus-fraction guess
+      minMutated = math.min(minMutated, batch.filter(col("mut")).count())
+      batch
+        .withColumn("text", when(col("mut"),
           concat(col("text"), lit(s" zq soakmut batch$i end"))).otherwise(col("text")))
+        .select(docs.columns.map(col): _*) // exact original schema/order
         .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    log.println(s"""{"min_mutated_per_batch":$minMutated}""")
 
     val t0 = System.nanoTime()
     val q = IngestDedup.start(spark, corpus, inDir, outBase, ckpt)
@@ -89,10 +110,11 @@ object StreamSoak {
       log.println(s"""{"version":$v,"pairs":$n,"near_pairs":$near}""")
     }
     // every ingested doc is a copy (10% mutated) of a corpus doc: each
-    // batch must report at least one pair per batch document, and the
-    // ~10% mutated slice must land as genuine jaccard<1 near-dups
+    // batch must report at least one pair per batch document, and every
+    // mutated doc (its count measured at generation time, not assumed
+    // from a corpus fraction) must land as a genuine jaccard<1 near-dup
     ok &= minPairs >= corpusN
-    ok &= minNear >= corpusN / 20
+    ok &= minNear >= minMutated && minMutated > 0
 
     // restart on the same checkpoint: AvailableNow with nothing new must
     // terminate without writing any version

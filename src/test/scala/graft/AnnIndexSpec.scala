@@ -15,7 +15,13 @@ import graft.sources.VersionedStore
   */
 class AnnIndexSpec extends SparkSpec {
 
-  // isolated corpus copy → isolated (fingerprinted) index store
+  // isolated corpus copy → isolated (fingerprinted) index store; the
+  // store root itself is ALSO isolated to a temp dir (JVM property —
+  // survives the newSession() boundaries session confs don't cross) so
+  // suite runs never accumulate stores under the durable default root
+  sys.props("graft.ann.index.base") =
+    Files.createTempDirectory("graft-annidx-store").toString
+
   private lazy val tds: String = {
     val d = Files.createTempDirectory("graft-annidx-corpus")
     Files.copy(Paths.get(sf0001, "embeddings.parquet"),
@@ -67,6 +73,29 @@ class AnnIndexSpec extends SparkSpec {
       // restore: later suites in this JVM may serve from this store
       assert(VersionedStore.deleteVersion(s"$base/assign", 2L))
     }
+  }
+
+  test("content fingerprint: same vec_ids with different vectors miss the old index") {
+    // the aliasing scenario an id-checksum fingerprint cannot see: a
+    // regenerated corpus that preserves every vec_id (count and
+    // sum(vec_id) identical) but carries different embedding content
+    // must resolve to a DIFFERENT store — never be served the stale
+    // corpus's index
+    val d2 = Files.createTempDirectory("graft-annidx-corpus2").toString
+    val orig = spark.read.parquet(s"$tds/embeddings.parquet").cache()
+    orig.count() // pin rows before the dir is overwritten below
+    orig.write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val fp1 = AnnIndex.corpusFingerprint(spark, d2, "full")
+    // regenerate IN PLACE: identical vec_ids (count and sum(vec_id)
+    // unchanged — the old id-checksum fingerprint would alias), new
+    // vector content
+    orig.withColumn("embedding",
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val fp2 = AnnIndex.corpusFingerprint(spark, d2, "full")
+    assert(fp1 != fp2,
+      "same-ids different-vectors corpus must fingerprint to a different store")
+    orig.unpersist()
   }
 
   test("persisted upsert lands v2 idempotently and matches the unpersisted twin") {

@@ -117,6 +117,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("one-join cappedSharedCounts equals the two-join staging on a stop-shingle corpus") {
+    import spark.implicits._
+    // 100 docs, cap = max(64, ceil(100/200)) = 64. Shingle "STOP" is in
+    // every doc (df=100 > 64): excluded from pair GENERATION, but pairs
+    // that qualify via rare shingles must still COUNT it in `shared`.
+    // Docs 1-10 share rare shingles r1/r2 (df=10 each); docs 11-100
+    // carry only STOP + a unique shingle — never candidates.
+    val rows =
+      (1L to 100L).map(i => (i, "STOP")) ++
+        (1L to 10L).flatMap(i => Seq((i, "r1"), (i, "r2"))) ++
+        (11L to 100L).map(i => (i, s"u_$i"))
+    val sh = rows.toDF("doc_id", "shingle")
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val old = Dedup.sharedCountsFor(Dedup.cappedCandidatesProportional(sh), sh)
+      .select("doc_a", "doc_b", "shared", "ca", "cb").collect().map(key).toSet
+    val neu = Dedup.cappedSharedCounts(sh, dfTab)
+      .select("doc_a", "doc_b", "shared", "ca", "cb").collect().map(key).toSet
+    assert(neu === old, "restructured staging must be pair-for-pair identical")
+    // the stop shingle IS counted: docs 1-2 share r1, r2 AND STOP
+    assert(neu.contains((1L, 2L, 3L, 3L, 3L)))
+    // stop-only co-occurrence (e.g. 11,12) is not a candidate
+    assert(!neu.exists(t => t._1 == 11L && t._2 == 12L))
+  }
+
   test("proportional df cap recovers pairs an absolute cap drops at high duplication") {
     import spark.implicits._
     // 20,000 docs → cap = greatest(64, ⌈20000/200⌉) = 100.
