@@ -1044,12 +1044,48 @@ object Dedup {
     // cap needed; candidates are MANY at t=0.5 (the prefix holds half of
     // each doc's shingles), so verification is the two-tier hashed
     // screen + exact confirm rather than straight string-set intersects.
+    // Runs with EXACT-DUP COLLAPSE (round-10): the whole prefix
+    // pipeline — ranks, prefixes, candidate self-join, tiered verify —
+    // operates on ONE representative per distinct text, and scored rep
+    // pairs expand back through the (doc_id, rep) map (cross-group
+    // pairs inherit the rep score — identical texts have identical
+    // shingle sets; within-group pairs are J = 1 exactly, provided the
+    // text has >= 1 shingle). On the 30x soak corpus the uncollapsed
+    // verify shipped per-doc hashed sets for ~9x the 10x candidate
+    // volume and timed out at 600 s; collapsed, the verify work is the
+    // distinct-text problem and only the Θ(dup²) OUTPUT expansion
+    // scales with duplication — which the oracle (unchanged) proves
+    // pair-for-pair.
     "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
-      jaccardBySetsTiered(stagedPrefixCandidates(s, dir, 0.5), sh, 0.5)
+      val t = 0.5
+      val repMap = exactRepMap(s, dir)
+      val shR = staged(s, s"$dir|shinglesR")(
+        stagedShingles(s, dir).join(
+          repMap.filter(col("doc_id") === col("rep")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+      val candR = staged(s, s"$dir|prefixcandR|$t")(
+        pairsSharing(prefixes(shR, t), t).distinct())
+      val repPairs = jaccardBySetsTiered(candR, shR, t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+        .filter(col("jaccard") >= t)
+      val members = repMap.select(col("rep"), col("doc_id").as("m"))
+      // expansion is ordered per OUTPUT pair: group members interleave
+      // across rep groups, so least/greatest, not (rep_a, rep_b) order
+      val cross = repPairs
+        .join(members.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+        .join(members.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      // reps with >= 1 shingle (shingle-less texts have no pairs in the
+      // uncollapsed formulation either)
+      val shingled = shR.select("doc_id").distinct().select(col("doc_id").as("rep"))
+      val within = members.join(shingled, "rep")
+        .select(col("rep"), col("m").as("ma"))
+        .join(members.select(col("rep"), col("m").as("mb")), "rep")
+        .filter(col("ma") < col("mb"))
+        .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy("doc_a", "doc_b")
     }),
 
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
