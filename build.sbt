@@ -40,13 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The round-9 staging A/B profile (bench_local/profile_staging_r9.jsonl)
   // pinned the 45-155 s swing on identical cold runs to C2 compilation:
   // compiler-thread time tracks the wall-time inflation ~1:1 while host
-  // steal stays <3% and GC <10 s. With 32 worker threads and a handful
-  // of default compiler threads the compile queue drains slowly and hot
-  // loops run interpreted for tens of seconds. More compiler threads
-  // shorten the storm on this 32-core box. SPARK_GRAFT_CI_COUNT=0
-  // reverts to the JVM default — the A/B switch the round-10
-  // post-mitigation profile (profile_staging_r10.jsonl) flips.
-) ++ (sys.env.getOrElse("SPARK_GRAFT_CI_COUNT", "12") match {
+  // steal stays <3% and GC <10 s. The proposed -XX:CICompilerCount=12
+  // mitigation was A/B'd in round 10 (profile_staging_r10.jsonl, 3
+  // flag-on vs 3 flag-off interleaved sessions): NULL RESULT - means
+  // 31.9 s vs 31.3 s, overlapping 27.6-36.1 s bands - because the
+  // round-10 one-join staging rewrite had already shrunk the generated
+  // kernels (and their JIT time, 124 s -> ~50 s) enough that the C2
+  // storm is gone. Default therefore stays the JVM's own; set
+  // SPARK_GRAFT_CI_COUNT=<n> to re-pin compiler threads for future
+  // profiles.
+) ++ (sys.env.getOrElse("SPARK_GRAFT_CI_COUNT", "0") match {
   case "0" => Seq.empty[String]
   case n   => Seq(s"-XX:CICompilerCount=$n")
 })

@@ -34,6 +34,18 @@ object ProfileStaging {
   private def jitMillis(): Long =
     java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
 
+  /** The -XX:CICompilerCount this JVM actually runs with (0 = JVM
+    * default, i.e. the flag was not passed) — makes the A/B artifact
+    * self-describing: flag-on and flag-off sessions are distinguishable
+    * in the jsonl without cross-referencing shell history. */
+  private def ciCount(): Int = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .collectFirst { case a if a.startsWith("-XX:CICompilerCount=") =>
+        a.stripPrefix("-XX:CICompilerCount=").toInt }
+      .getOrElse(0)
+  }
+
   /** (steal jiffies, total jiffies) from the aggregate cpu line. */
   private def cpuStat(): (Long, Long) = {
     val src = scala.io.Source.fromFile("/proc/stat")
@@ -73,7 +85,7 @@ object ProfileStaging {
       val sec = (System.nanoTime() - t0) / 1e9
       val (st1, tot1) = cpuStat()
       val steal = 100.0 * (st1 - st0) / math.max(1L, tot1 - tot0)
-      log.println(s"""{"session":"$sid","sf":"$sfDir","phase":"$phase","sec":${fmt(sec)},"steal_pct":${fmt(steal)},"gc_ms":${gcMillis() - gc0},"jit_ms":${jitMillis() - jit0}}""")
+      log.println(s"""{"session":"$sid","sf":"$sfDir","phase":"$phase","ci_count":${ciCount()},"sec":${fmt(sec)},"steal_pct":${fmt(steal)},"gc_ms":${gcMillis() - gc0},"jit_ms":${jitMillis() - jit0}}""")
       println(s"PROFILE $sid $phase: ${fmt(sec)}s steal=${fmt(steal)}% gc=${gcMillis() - gc0}ms jit=${jitMillis() - jit0}ms")
     }
 
