@@ -293,6 +293,78 @@ object Dedup {
         col("ca"), col("cb"))
   }
 
+  /** [[cappedSharedCounts]] with EXACT-DUP COLLAPSE — the staged
+    * artifact's rows are unchanged, but the quadratic work runs on one
+    * representative per distinct text. Validity: `shared`, `ca`, `cb`
+    * and candidacy (≥ 1 shared rare shingle) are pure functions of the
+    * two documents' shingle SETS, and exact-text duplicates have
+    * identical sets by construction — so every pair (a, b) inherits its
+    * value from the rep pair (rep(a), rep(b)), and a group's internal
+    * pairs share ALL c shingles (candidates iff the text has ≥ 1 rare
+    * shingle). df and the proportional cap stay FULL-CORPUS (rarity is
+    * a property of the corpus, not of the distinct-text set), so the
+    * rare/stop split is bit-identical to the uncollapsed form. On a
+    * re-crawl-shaped corpus (the 30× soak: ~30-way replication) the
+    * rare self-join's slot volume drops ~dup² (1.25e9 → ~1.4e6 slots);
+    * only the Θ(dup²) OUTPUT expansion — two joins through the member
+    * map — scales with duplication, and that is the artifact's
+    * inherent row count. LlmOpsSpec pins pair-for-pair equality against
+    * the uncollapsed formulation on a corpus with duplicate groups AND
+    * stop shingles. */
+  def cappedSharedCountsCollapsed(shR: DataFrame, fullSh: DataFrame,
+                                  dfTab: DataFrame, repMap: DataFrame): DataFrame = {
+    val cap = fullSh.agg(countDistinct("doc_id").as("n_docs"))
+      .select(greatest(lit(64L),
+        expr("(n_docs + 199) div 200")).as("cap"))
+    val withCap = dfTab.crossJoin(broadcast(cap))
+    val rareIdxR = shR.join(withCap.filter(col("df") <= col("cap"))
+      .select("shingle"), Seq("shingle"))
+    val pairsRareR = rareIdxR.select(col("doc_id").as("ra"), col("shingle"))
+      .join(rareIdxR.select(col("doc_id").as("rb"), col("shingle")), Seq("shingle"))
+      .filter(col("ra") < col("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("shared_rare"))
+    val stopSetsR = shR.join(withCap.filter(col("df") > col("cap"))
+        .select("shingle"), Seq("shingle"))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("stopset"))
+    val docSideR = shR.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .join(stopSetsR, Seq("doc_id"), "left")
+    val repPairs = pairsRareR
+      .join(docSideR.select(col("doc_id").as("ra"),
+        col("c").as("ca"), col("stopset").as("sa")), "ra")
+      .join(docSideR.select(col("doc_id").as("rb"),
+        col("c").as("cb"), col("stopset").as("sb")), "rb")
+      .select(col("ra"), col("rb"),
+        (col("shared_rare") + when(col("sa").isNull || col("sb").isNull, lit(0))
+          .otherwise(size(array_intersect(col("sa"), col("sb")))).cast("bigint"))
+          .as("shared"),
+        col("ca"), col("cb"))
+    val members = repMap.select(col("rep"), col("doc_id").as("m"))
+    // cross-group expansion: group members interleave across groups, so
+    // the output pair is (least, greatest) and ca/cb FOLLOW the
+    // orientation (ca is doc_a's set size, not rep_a's)
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("m").as("ma")), "ra")
+      .join(members.select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        col("shared"),
+        when(col("ma") < col("mb"), col("ca")).otherwise(col("cb")).as("ca"),
+        when(col("ma") < col("mb"), col("cb")).otherwise(col("ca")).as("cb"))
+    // within-group pairs: identical texts share all c shingles; they are
+    // candidates iff the text has ≥ 1 RARE shingle (a stop-only text's
+    // copies never meet in the rare self-join — same as uncollapsed)
+    val rareReps = rareIdxR.select("doc_id").distinct()
+    val within = members
+      .join(docSideR.join(rareReps, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("rep"), col("c")), "rep")
+      .select(col("rep"), col("m").as("ma"), col("c"))
+      .join(members.select(col("rep"), col("m").as("mb")), "rep")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+        col("c").as("shared"), col("c").as("ca"), col("c").as("cb"))
+    cross.unionByName(within)
+  }
+
   private def cappedCandidatesBy(sh: DataFrame, maxDf: org.apache.spark.sql.Column): DataFrame = {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -715,14 +787,32 @@ object Dedup {
     * identical artifact — dedup_ngram_jaccard and dedup_ngram_jaccard_capped
     * score Jaccard from it, dedup_containment scores both containment
     * directions from it — and unstaged each re-ran the capped
-    * inverted-index self-join + shared-count aggregate from scratch. */
+    * inverted-index self-join + shared-count aggregate from scratch.
+    * Built via [[cappedSharedCountsCollapsed]] (round 10): the rare
+    * self-join runs on one representative per distinct text and the
+    * staged ROWS are expanded back through the exact-dup map, so the
+    * artifact is unchanged while the build's quadratic work is the
+    * distinct-text problem. */
   def stagedCappedShared(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|cappedshared|prop") {
       val sh = stagedShingles(s, dir)
       val dfTab = stagedShingleDf(s, dir)
-      withStageBudget(cappedSharedCounts(sh, dfTab),
+      withStageBudget(
+        cappedSharedCountsCollapsed(stagedShinglesReps(s, dir), sh, dfTab,
+          exactRepMap(s, dir)),
         cappedVolumeBound(sh, dfTab), "stagedCappedShared", "shared")
     }
+  /** The shingle index restricted to one representative per distinct
+    * text — the collapse substrate shared by the capped staging and the
+    * prefix pipeline (both reference it several times per build, and
+    * re-running the semi-join against the full index would re-shuffle
+    * the posting stream each time). */
+  def stagedShinglesReps(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|shinglesR")(
+      stagedShingles(s, dir).join(
+        exactRepMap(s, dir).filter(col("doc_id") === col("rep"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
   /** Shingle document-frequency table staged once: the capped staging
     * reads it twice (rare filter + stop filter) and the staging-volume
     * budget aggregates it a third time — unstaged, each reference
@@ -732,8 +822,12 @@ object Dedup {
       stagedShingles(s, dir).groupBy("shingle").agg(count(lit(1)).as("df")))
   /** Upper bound on the capped staging's self-join volume WITHOUT
     * running it: Σ over rare (df <= cap) shingles of df·(df-1)/2 — the
-    * exact number of pair slots the rare-index self-join enumerates.
-    * One aggregate over the staged df table. */
+    * exact number of pair slots an UNCOLLAPSED rare-index self-join
+    * enumerates, which is (a) an upper bound on the collapsed build's
+    * rep-level slot volume and (b) an upper bound on the expanded
+    * artifact's row count — i.e. it still bounds both the work and the
+    * output IO of the collapsed staging. One aggregate over the staged
+    * df table. */
   private def cappedVolumeBound(sh: DataFrame, dfTab: DataFrame): DataFrame = {
     val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
       .select(greatest(lit(64L),
@@ -1059,10 +1153,7 @@ object Dedup {
     "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
       val t = 0.5
       val repMap = exactRepMap(s, dir)
-      val shR = staged(s, s"$dir|shinglesR")(
-        stagedShingles(s, dir).join(
-          repMap.filter(col("doc_id") === col("rep")).select("doc_id"),
-          Seq("doc_id"), "left_semi"))
+      val shR = stagedShinglesReps(s, dir)
       val candR = staged(s, s"$dir|prefixcandR|$t")(
         pairsSharing(prefixes(shR, t), t).distinct())
       val repPairs = jaccardBySetsTiered(candR, shR, t)

@@ -143,6 +143,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(!neu.exists(t => t._1 == 11L && t._2 == 12L))
   }
 
+  test("collapsed capped staging equals the uncollapsed form under duplication + stop shingles") {
+    import spark.implicits._
+    // 100 docs, cap = greatest(64, ceil(100/200)) = 64; "STOP" is in every
+    // doc (df=100 > 64). Three exact-dup groups exercise every expansion
+    // arm: group A (docs 1-6, sets {STOP,r1,r2}) and group B (docs 7-10,
+    // sets {STOP,r2,r3}) meet through rare r2 (cross-group inheritance);
+    // each group's internal pairs share all c shingles (within-group
+    // arm); group C (docs 95-100, sets {STOP} only) has NO rare shingle,
+    // so its internal pairs must NOT appear. Docs 11-94 are singleton
+    // groups with a unique rare shingle.
+    val rows =
+      (1L to 100L).map(i => (i, "STOP")) ++
+        (1L to 6L).flatMap(i => Seq((i, "r1"), (i, "r2"))) ++
+        (7L to 10L).flatMap(i => Seq((i, "r2"), (i, "r3"))) ++
+        (11L to 94L).map(i => (i, s"u_$i"))
+    val sh = rows.toDF("doc_id", "shingle")
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val repMap = (
+      (1L to 6L).map(i => (i, 1L)) ++
+        (7L to 10L).map(i => (i, 7L)) ++
+        (11L to 94L).map(i => (i, i)) ++
+        (95L to 100L).map(i => (i, 95L))
+      ).toDF("doc_id", "rep")
+    val shR = sh.join(repMap.filter(col("doc_id") === col("rep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val flat = Dedup.cappedSharedCounts(sh, dfTab)
+      .select("doc_a", "doc_b", "shared", "ca", "cb").collect().map(key).toSet
+    val coll = Dedup.cappedSharedCountsCollapsed(shR, sh, dfTab, repMap)
+      .select("doc_a", "doc_b", "shared", "ca", "cb").collect().map(key).toSet
+    assert(coll === flat, "collapsed staging must be pair-for-pair identical")
+    // spot-pins: within-group A pair shares all 3 shingles incl. STOP
+    assert(coll.contains((1L, 2L, 3L, 3L, 3L)))
+    // cross-group A x B inherits the rep pair's counts (r2 + STOP)
+    assert(coll.contains((6L, 7L, 2L, 3L, 3L)))
+    // stop-only group C never becomes a candidate
+    assert(!coll.exists(t => t._1 >= 95L))
+  }
+
   test("proportional df cap recovers pairs an absolute cap drops at high duplication") {
     import spark.implicits._
     // 20,000 docs → cap = greatest(64, ⌈20000/200⌉) = 100.

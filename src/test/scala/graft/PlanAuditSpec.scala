@@ -96,9 +96,14 @@ class PlanAuditSpec extends SparkSpec {
           // lifecycle: its assignment is one (vec_id, cell) row per
           // corpus vector, bounded here by the same pinning vec_id
           // filter as the embeddings leaf it joins
+          // resolve the store base the same way AnnIndex does — another
+          // suite in this JVM may have pointed the prop at its own temp
+          // dir, and the audit must recognize that dir as the index
+          val annBase = spark.conf.getOption("graft.ann.index.base")
+            .orElse(sys.props.get("graft.ann.index.base"))
           val embeddingsLike = leafPaths.forall(p =>
             p.endsWith("embeddings.parquet") || p.contains("graft-stage") ||
-              p.contains("graft-ann-index"))
+              p.contains("ann_index") || annBase.exists(p.contains))
           val ok = leafTables.subsetOf(bounded) || aggOk || limitOk ||
             (filterOk && embeddingsLike)
           assert(ok, s"$name forces a broadcast hint on sf-scaling " +
