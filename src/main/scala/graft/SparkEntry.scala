@@ -30,7 +30,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ AsOf.queries ++ Sketches.queries ++
       Graph.queries ++ Sampling.queries ++ Clustering.queries ++
-      Pipeline.queries ++ Layout.queries ++ Map(
+      Pipeline.queries ++ Layout.queries ++
+      graft.streaming.StreamOracle.queries ++ Map(
       // O14 analogue: typed flatMapGroups sessionizer; same oracle as the
       // declarative events_session — the custom stateful op must agree
       // with the SQL formulation.
@@ -52,7 +53,8 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ AsOf.oracles ++ Sketches.oracles ++
       Graph.oracles ++ Sampling.oracles ++ Clustering.oracles ++
-      Pipeline.oracles ++ Layout.oracles ++ Map(
+      Pipeline.oracles ++ Layout.oracles ++
+      graft.streaming.StreamOracle.oracles ++ Map(
       "sessionize_stateful" -> EventTime.oracles("events_session"),
       "funnel_stateful" -> EventTime.oracles("events_funnel"),
       "attribution_stateful" -> EventTime.oracles("events_attribution")

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Staged, Tables}
+
+/** Oracle-registered streaming twins: each query stages its input as a
+  * MULTI-FILE directory, replays it through the real Structured
+  * Streaming engine (file source + `maxFilesPerTrigger=1`, i.e. one
+  * micro-batch per file, `Trigger.AvailableNow`), and returns the
+  * drained sink as a batch DataFrame the DuckDB oracle can hash against
+  * the equivalent SQL over the original parquet table.
+  *
+  * This closes the one verification asymmetry the streaming layer had:
+  * the topology twins were stream≡batch-asserted in specs and the
+  * StreamParity artifact (reference `crane_master.py:148-164` micro-batch
+  * loop), but nothing streaming sat behind the cross-engine oracle gate.
+  * Here the streamed result itself is the registered answer, so the
+  * micro-batch planner, the state store (complete-mode running totals,
+  * windowed aggregation state, dropDuplicates key state), and the
+  * cross-batch carry all sit INSIDE the correctness gate: a dup key pair
+  * split across micro-batch files only dedups correctly if state really
+  * carries between triggers.
+  *
+  * Scale shape: the file source reads one file per trigger regardless of
+  * corpus size; state is keyed (words / windows / dedup keys), i.e. the
+  * domain of the aggregation, not the event volume; and the drained sink
+  * is the aggregate's cardinality. At 100 TB the same topology runs with
+  * a real message bus behind the source and a distributed state store —
+  * nothing here holds the input in memory.
+  */
+object StreamOracle {
+
+  /** Unique memory-sink name per run: a completed AvailableNow query
+    * frees its name, but a stable name would silently serve a STALE temp
+    * view if an earlier failed run left one registered. */
+  private def uniq(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** documents.text as a 4-file text dir (one line per doc — the corpus
+    * ships newline-free text, asserted in StreamOracleSpec): 4 files =
+    * 4 micro-batches under maxFilesPerTrigger=1. Data lives under
+    * `<stage>/data` so the stage-completion marker never enters the
+    * source glob. */
+  private def textDir(s: SparkSession, dir: String): String =
+    Staged.materialize(s, s"$dir|streamtext")(d =>
+      Tables.documents(s, dir).select("text").repartition(4)
+        .write.text(s"$d/data")) + "/data"
+
+  /** Normalized events as a 4-file parquet dir + the schema the file
+    * source needs (streaming reads never infer). */
+  private def eventsDir(s: SparkSession, dir: String): (String, StructType) = {
+    val ev = Tables.events(s, dir)
+    val d = Staged.materialize(s, s"$dir|streamevents")(d =>
+      ev.repartition(4).write.parquet(s"$d/data"))
+    (d + "/data", ev.schema)
+  }
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = eventsDir(s, dir)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1–O5 as a LIVE stream under the oracle: 4 micro-batches of
+    // document lines, complete-mode running totals; the final table is
+    // bit-equal to batch wordcount iff count state carried across all
+    // triggers.
+    "stream_wordcount" -> ((s, dir) =>
+      Streams.runToCompletion(s,
+        Streams.wordCountStream(s, textDir(s, dir), maxFilesPerTrigger = Some(1)),
+        uniq("so_wc"))
+        .orderBy("word")),
+
+    // Watermarked tumbling windows (the event-time capability the
+    // reference lacks, SURVEY §2.1) streamed batch-by-batch; complete
+    // mode emits every window, so the drained sink equals the batch
+    // twin's windowed aggregate exactly.
+    "stream_tumbling" -> ((s, dir) =>
+      Streams.runToCompletion(s,
+        Streams.tumblingCounts(eventStream(s, dir)),
+        uniq("so_tw"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+
+    // Streaming exact dedup in append mode: first occurrence of each
+    // (user_id, event_type) wins; duplicates landing in LATER
+    // micro-batches are dropped by state-store lookups, so the emitted
+    // key set equals DISTINCT over the whole table only if state
+    // persists across triggers.
+    "stream_dedup_keys" -> ((s, dir) =>
+      Streams.runToCompletion(s,
+        eventStream(s, dir).dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type")),
+        uniq("so_dd"), mode = "append")
+        .orderBy("user_id", "event_type"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // identical to the batch wordcount oracle — the stream must land on
+    // the same totals
+    "stream_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
