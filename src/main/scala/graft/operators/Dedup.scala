@@ -311,12 +311,25 @@ object Dedup {
     * inherent row count. LlmOpsSpec pins pair-for-pair equality against
     * the uncollapsed formulation on a corpus with duplicate groups AND
     * stop shingles. */
-  def cappedSharedCountsCollapsed(shR: DataFrame, fullSh: DataFrame,
-                                  dfTab: DataFrame, repMap: DataFrame): DataFrame = {
-    val cap = fullSh.agg(countDistinct("doc_id").as("n_docs"))
+  /** The full-corpus proportional df cap as a 1-row frame:
+    * max(64, ⌈n_docs/200⌉). */
+  private def propCap(fullSh: DataFrame): DataFrame =
+    fullSh.agg(countDistinct("doc_id").as("n_docs"))
       .select(greatest(lit(64L),
         expr("(n_docs + 199) div 200")).as("cap"))
-    val withCap = dfTab.crossJoin(broadcast(cap))
+
+  /** The REP-LEVEL shared-count table (ra < rb, shared, ca, cb) over one
+    * representative per distinct text — the entire quadratic work of the
+    * capped near-dup family. Rarity (df <= cap) stays FULL-corpus; only
+    * the self-join runs on the distinct-text index. This is the staged
+    * production artifact: since `shared`/`ca`/`cb` are pure functions of
+    * the two shingle SETS, every derived measure (Jaccard, containment,
+    * rank) is INVARIANT across exact-dup group members, so consumers
+    * filter/rank here and expand through the member map afterwards —
+    * nothing dup²-sized is ever staged. */
+  def cappedRepPairs(shR: DataFrame, fullSh: DataFrame,
+                     dfTab: DataFrame): DataFrame = {
+    val withCap = dfTab.crossJoin(broadcast(propCap(fullSh)))
     val rareIdxR = shR.join(withCap.filter(col("df") <= col("cap"))
       .select("shingle"), Seq("shingle"))
     val pairsRareR = rareIdxR.select(col("doc_id").as("ra"), col("shingle"))
@@ -328,7 +341,7 @@ object Dedup {
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("stopset"))
     val docSideR = shR.groupBy("doc_id").agg(count(lit(1)).as("c"))
       .join(stopSetsR, Seq("doc_id"), "left")
-    val repPairs = pairsRareR
+    pairsRareR
       .join(docSideR.select(col("doc_id").as("ra"),
         col("c").as("ca"), col("stopset").as("sa")), "ra")
       .join(docSideR.select(col("doc_id").as("rb"),
@@ -338,6 +351,15 @@ object Dedup {
           .otherwise(size(array_intersect(col("sa"), col("sb")))).cast("bigint"))
           .as("shared"),
         col("ca"), col("cb"))
+  }
+
+  def cappedSharedCountsCollapsed(shR: DataFrame, fullSh: DataFrame,
+                                  dfTab: DataFrame, repMap: DataFrame): DataFrame = {
+    val withCap = dfTab.crossJoin(broadcast(propCap(fullSh)))
+    val rareIdxR = shR.join(withCap.filter(col("df") <= col("cap"))
+      .select("shingle"), Seq("shingle"))
+    val docSideR = shR.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val repPairs = cappedRepPairs(shR, fullSh, dfTab)
     val members = repMap.select(col("rep"), col("doc_id").as("m"))
     // cross-group expansion: group members interleave across groups, so
     // the output pair is (least, greatest) and ca/cb FOLLOW the
@@ -783,24 +805,44 @@ object Dedup {
     * probe side of the join back), and the up-to-8192-windows-per-doc
     * explode + hash60 pipeline is the query's dominant cost — unstaged
     * it ran twice. */
-  /** df-capped shared counts staged: THREE registered queries consume the
-    * identical artifact — dedup_ngram_jaccard and dedup_ngram_jaccard_capped
-    * score Jaccard from it, dedup_containment scores both containment
-    * directions from it — and unstaged each re-ran the capped
-    * inverted-index self-join + shared-count aggregate from scratch.
-    * Built via [[cappedSharedCountsCollapsed]] (round 10): the rare
-    * self-join runs on one representative per distinct text and the
-    * staged ROWS are expanded back through the exact-dup map, so the
-    * artifact is unchanged while the build's quadratic work is the
-    * distinct-text problem. */
-  def stagedCappedShared(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|cappedshared|prop") {
+  /** df-capped shared counts staged at REP level: FIVE registered
+    * queries (jaccard, capped, containment, containment_topk,
+    * cross_source) consume the identical (ra, rb, shared, ca, cb)
+    * artifact over one representative per distinct text. Round-10b
+    * staged the EXPANDED doc-level table — at 100× (100-way exact
+    * replication) that artifact is itself Θ(dup²) ≈ the 1.4 × 10¹⁰-slot
+    * uncollapsed bound, i.e. a ~100 GB staged parquet of mostly
+    * sub-threshold pairs. Because every derived measure is invariant
+    * across exact-dup members, consumers now filter/rank HERE and expand
+    * through [[exactRepMap]] afterwards — the only dup²-sized rows that
+    * ever exist are the qualifying output pairs themselves. */
+  def stagedCappedSharedReps(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|cappedrepshared|prop") {
       val sh = stagedShingles(s, dir)
       val dfTab = stagedShingleDf(s, dir)
+      val shR = stagedShinglesReps(s, dir)
       withStageBudget(
-        cappedSharedCountsCollapsed(stagedShinglesReps(s, dir), sh, dfTab,
-          exactRepMap(s, dir)),
-        cappedVolumeBound(sh, dfTab), "stagedCappedShared", "shared")
+        cappedRepPairs(shR, sh, dfTab),
+        cappedVolumeBound(sh, dfTab, shR), "stagedCappedSharedReps", "shared")
+    }
+  /** Per-representative group stats staged beside the rep pairs:
+    * n_mem (exact-dup group size) and has_rare (the text owns ≥ 1
+    * full-corpus-rare shingle — the uncollapsed candidacy rule for a
+    * group's INTERNAL pairs). One row per distinct text. */
+  def stagedRepStats(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"$dir|repstats|prop") {
+      val nMem = exactRepMap(s, dir)
+        .groupBy("rep").agg(count(lit(1)).as("n_mem"))
+      val rare = stagedShinglesReps(s, dir)
+        .join(stagedShingleDf(s, dir)
+            .crossJoin(broadcast(propCap(stagedShingles(s, dir))))
+            .filter(col("df") <= col("cap")).select("shingle"),
+          Seq("shingle"))
+        .select(col("doc_id").as("rep")).distinct()
+        .withColumn("has_rare", lit(true))
+      nMem.join(rare, Seq("rep"), "left")
+        .select(col("rep"), col("n_mem"),
+          coalesce(col("has_rare"), lit(false)).as("has_rare"))
     }
   /** The shingle index restricted to one representative per distinct
     * text — the collapse substrate shared by the capped staging and the
@@ -820,21 +862,31 @@ object Dedup {
   def stagedShingleDf(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|shingledf")(
       stagedShingles(s, dir).groupBy("shingle").agg(count(lit(1)).as("df")))
-  /** Upper bound on the capped staging's self-join volume WITHOUT
-    * running it: Σ over rare (df <= cap) shingles of df·(df-1)/2 — the
-    * exact number of pair slots an UNCOLLAPSED rare-index self-join
-    * enumerates, which is (a) an upper bound on the collapsed build's
-    * rep-level slot volume and (b) an upper bound on the expanded
-    * artifact's row count — i.e. it still bounds both the work and the
-    * output IO of the collapsed staging. One aggregate over the staged
-    * df table. */
-  private def cappedVolumeBound(sh: DataFrame, dfTab: DataFrame): DataFrame = {
+  /** Exact slot volume of the COLLAPSED staging build's rare self-join
+    * WITHOUT running it: Σ over full-corpus-rare (df <= cap) shingles of
+    * df_r·(df_r-1)/2, where df_r is the shingle's document frequency over
+    * exact-dup REPRESENTATIVES — the quadratic work the collapsed build
+    * actually performs. The old full-df form of this bound tripped the
+    * budget at 100x (1.39e10) even though the collapsed build's work was
+    * ~1.4e6 slots: on a replicated corpus the full-df slot count grows
+    * ~dup² while the rep-level work it is supposed to guard stays
+    * constant. The full-df quantity is still an upper bound on the
+    * EXPANDED artifact's row count, but that expansion is a streamed
+    * shuffle-to-parquet write (disk-scale, linear per row), not the heap-
+    * or work-cliff this budget exists to catch. Rarity stays full-corpus
+    * (df <= cap over the FULL df table) so the guard budgets exactly the
+    * shingles the build self-joins. Two staged-table aggregates, no pair
+    * is ever generated. */
+  private def cappedVolumeBound(sh: DataFrame, dfTab: DataFrame,
+                                shR: DataFrame): DataFrame = {
     val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
       .select(greatest(lit(64L),
         expr("(n_docs + 199) div 200")).as("cap"))
-    dfTab.crossJoin(broadcast(cap))
+    val dfR = shR.groupBy("shingle").agg(count(lit(1)).as("df_r"))
+    dfTab.join(dfR, Seq("shingle"))
+      .crossJoin(broadcast(cap))
       .agg(coalesce(sum(when(col("df") <= col("cap"),
-        expr("(df * (df - 1)) div 2")).otherwise(0L)), lit(0L)).as("pair_est"))
+        expr("(df_r * (df_r - 1)) div 2")).otherwise(0L)), lit(0L)).as("pair_est"))
   }
   /** In-plan WORK budget for the capped staging build — the intermediate
     * twin of [[withPairBudget]] (which bounds OUTPUT cardinality, not
@@ -854,7 +906,7 @@ object Dedup {
       .withColumn(keyCol,
         when(col("pair_est") <= budget, col(keyCol))
           .otherwise(raise_error(concat(
-            lit(s"$what: capped self-join volume "), col("pair_est").cast("string"),
+            lit(s"$what: staging self-join work volume "), col("pair_est").cast("string"),
             lit(s" exceeds graft.stage.budget=$budget - use the lossless prefix " +
               "path (dedup_ngram_jaccard_prefix) or raise the budget")))
             .cast(dt)))
@@ -985,6 +1037,57 @@ object Dedup {
       .groupBy("e").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("pair_est"))
 
+  /** Expand qualifying rep-level pairs (ra, rb, score) to doc pairs
+    * through the exact-dup member map: cross-group pairs inherit the rep
+    * score (identical shingle sets ⇒ identical measure); within-group
+    * pairs — candidates iff the text has ≥ 1 rare shingle (has_rare,
+    * the uncollapsed candidacy rule) — carry `selfScore` (the measure of
+    * two identical sets). Only QUALIFYING pairs are ever expanded, so
+    * the dup²-sized rows produced here are exactly the demanded output. */
+  private def expandQualified(qual: DataFrame, score: String, selfScore: Double,
+                              mem: DataFrame, stats: DataFrame): DataFrame = {
+    val cross = qual
+      .join(mem.select(col("rep").as("ra"), col("doc_id").as("ma")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("doc_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col(score))
+    val within = mem
+      .join(stats.filter(col("has_rare") && col("n_mem") >= 2).select("rep"),
+        Seq("rep"), "left_semi")
+      .select(col("rep"), col("doc_id").as("ma"))
+      .join(mem.select(col("rep"), col("doc_id").as("mb")), "rep")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+        lit(selfScore).as(score))
+    cross.unionByName(within)
+  }
+
+  /** J ≥ 0.5 pairs from the rep-level staged artifact: score + threshold
+    * at rep level, expansion after — shared by dedup_ngram_jaccard and
+    * its _capped alias. */
+  private def cappedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val qual = stagedCappedSharedReps(s, dir)
+      .select(col("ra"), col("rb"),
+        round(col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    expandQualified(qual, "jaccard", 1.0,
+      exactRepMap(s, dir), stagedRepStats(s, dir))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Directed rep-level containment pairs past the 0.8 threshold —
+    * shared by dedup_containment and _topk. The quotient stays the raw
+    * IEEE division (bit-identical cross-engine). */
+  private def containmentQualified(s: SparkSession, dir: String): DataFrame = {
+    val reps = stagedCappedSharedReps(s, dir)
+    val fwd = reps.select(col("ra").as("sra"), col("rb").as("srb"),
+      (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
+    val rev = reps.select(col("rb").as("sra"), col("ra").as("srb"),
+      (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+    fwd.union(rev).filter(col("containment") >= 0.8)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via content fingerprint: representative (min doc_id)
@@ -1079,11 +1182,7 @@ object Dedup {
     // pair-for-pair equality with the uncapped formulation
     // (sharedCounts), and the DuckDB oracle replays the SAME df-capped
     // candidate generation so the gate checks the shipped semantics.
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      jaccardOfShared(stagedCappedShared(s, dir))
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, dir) => cappedJaccardPairs(s, dir)),
 
     // Duplicate-cluster resolution: connected components over the exact
     // near-dup pair graph (J >= 0.5), labeling every involved doc with
@@ -1128,11 +1227,7 @@ object Dedup {
     // recovered as long as any one of them is rare, so the cap changes
     // candidates only, not reported pairs (spec + oracle assert
     // equality with the uncapped query).
-    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
-      jaccardOfShared(stagedCappedShared(s, dir))
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard_capped" -> ((s, dir) => cappedJaccardPairs(s, dir)),
 
     // Same reported pairs again via lossless prefix filtering — no df
     // cap needed; candidates are MANY at t=0.5 (the prefix holds half of
@@ -1250,27 +1345,34 @@ object Dedup {
     // of those is rare — LlmOpsSpec asserts equality with the uncapped
     // formulation, and the oracle replays the same capped candidates.
     "dedup_containment" -> ((s, dir) => {
-      val shared = stagedCappedShared(s, dir)
-      val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
-        (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
-      val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
-        (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
-      // containment stays the RAW quotient: one IEEE division is
-      // bit-identical across engines, while round() on a small-integer
-      // ratio that lands exactly on .xxxxxx5 (e.g. 103/128) splits
-      // HALF_UP vs nearbyint
-      val pairs = fwd.union(rev)
-        .filter(col("containment") >= 0.8)
+      val mem = exactRepMap(s, dir)
+      val stats = stagedRepStats(s, dir)
+      val qual = containmentQualified(s, dir)
+      // threshold applied at REP level (the quotient is set-determined,
+      // so it commutes with exact-dup expansion); only qualifying
+      // directed pairs fan out through the member map
+      val cross = qual
+        .join(mem.select(col("rep").as("sra"), col("doc_id").as("src_doc")), "sra")
+        .join(mem.select(col("rep").as("srb"), col("doc_id").as("dst_doc")), "srb")
         .select(col("src_doc"), col("dst_doc"), col("containment"))
-        .orderBy("src_doc", "dst_doc")
-      // budget guard: the qualifying-pair count in ONE aggregate pass
-      // over the staged shared-count parquet (both directions summed in
-      // the same scan — the union form read the artifact twice)
+      val within = mem
+        .join(stats.filter(col("has_rare")).select("rep"), Seq("rep"), "left_semi")
+        .select(col("rep"), col("doc_id").as("src_doc"))
+        .join(mem.select(col("rep"), col("doc_id").as("dst_doc")), "rep")
+        .filter(col("src_doc") =!= col("dst_doc"))
+        .select(col("src_doc"), col("dst_doc"), lit(1.0).as("containment"))
+      val pairs = cross.unionByName(within).orderBy("src_doc", "dst_doc")
+      // budget guard computed ENTIRELY at rep granularity: Σ qualifying
+      // directed rep pairs × |A|·|B| plus the within-group n·(n−1) —
+      // never runs the expansion it is guarding
+      val crossEst = qual
+        .join(stats.select(col("rep").as("sra"), col("n_mem").as("na")), "sra")
+        .join(stats.select(col("rep").as("srb"), col("n_mem").as("nb")), "srb")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("ce"))
+      val withinEst = stats.filter(col("has_rare"))
+        .agg(coalesce(sum(col("n_mem") * (col("n_mem") - 1)), lit(0L)).as("we"))
       withPairBudget(pairs,
-        shared.agg(coalesce(
-          sum(when(col("shared").cast("double") / col("ca") >= 0.8, 1L).otherwise(0L)) +
-            sum(when(col("shared").cast("double") / col("cb") >= 0.8, 1L).otherwise(0L)),
-          lit(0L)).as("pair_est")),
+        crossEst.crossJoin(withinEst).select((col("ce") + col("we")).as("pair_est")),
         "dedup_containment", "src_doc")
     }),
 
@@ -1287,15 +1389,36 @@ object Dedup {
     // (bit-identical cross-engine, so the ordering replays too).
     "dedup_containment_topk" -> ((s, dir) => {
       val K = 3
-      val shared = stagedCappedShared(s, dir)
-      val fwd = shared.select(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
-        (col("shared").cast("double") / col("ca").cast("double")).as("containment"))
-      val rev = shared.select(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
-        (col("shared").cast("double") / col("cb").cast("double")).as("containment"))
+      val mem = exactRepMap(s, dir)
+      val stats = stagedRepStats(s, dir)
+      // every member of a group sees the SAME candidate score multiset
+      // (within-group partners: n_mem − 1 docs at containment 1.0;
+      // cross-group: every member of B at the rep pair's quotient), so
+      // the top-K cut can be decided at rep granularity and only the
+      // surviving levels expanded
+      val qual = containmentQualified(s, dir)
+        .join(stats.select(col("rep").as("srb"), col("n_mem").as("nb")), "srb")
+        .select(col("sra"), col("srb"), col("containment"), col("nb"))
+        .unionByName(stats.filter(col("has_rare") && col("n_mem") >= 2)
+          .select(col("rep").as("sra"), col("rep").as("srb"),
+            lit(1.0).as("containment"), (col("n_mem") - 1).as("nb")))
+      // keep a containment level iff fewer than K candidates sit at
+      // STRICTLY higher levels — anything below can never enter a
+      // member's top-K (ties at the cut break on dst_doc post-expansion)
+      val lvl = qual.groupBy("sra", "containment").agg(sum("nb").as("lvl_n"))
+      val wLvl = org.apache.spark.sql.expressions.Window
+        .partitionBy("sra").orderBy(desc("containment"))
+      val keep = lvl.withColumn("cum", sum("lvl_n").over(wLvl))
+        .filter(col("cum") - col("lvl_n") < K)
+        .select("sra", "containment")
+      val expanded = qual.join(keep, Seq("sra", "containment"), "left_semi")
+        .join(mem.select(col("rep").as("sra"), col("doc_id").as("src_doc")), "sra")
+        .join(mem.select(col("rep").as("srb"), col("doc_id").as("dst_doc")), "srb")
+        .filter(col("src_doc") =!= col("dst_doc"))
+        .select(col("src_doc"), col("dst_doc"), col("containment"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("src_doc").orderBy(desc("containment"), col("dst_doc"))
-      fwd.union(rev)
-        .filter(col("containment") >= 0.8)
+      expanded
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= K)
         .select(col("src_doc"), col("rk"), col("dst_doc"), col("containment"))
@@ -1309,15 +1432,41 @@ object Dedup {
     // the staged shared-count artifact, so the marginal cost is one
     // 5-column join against the (tiny, broadcast) doc→source map.
     "dedup_cross_source" -> ((s, dir) => {
-      val pairs = jaccardOfShared(stagedCappedShared(s, dir))
-        .filter(col("jaccard") >= 0.5)
+      // aggregation pushed THROUGH the dup expansion: a qualifying rep
+      // pair (A, B) contributes cnt_A(s)·cnt_B(s') doc pairs to source
+      // pair (s, s'), and a group's internal pairs contribute the
+      // source-histogram combinations — so the rollup never materializes
+      // a doc-level pair at all; work is rep pairs × source fan-out
+      val reps = stagedCappedSharedReps(s, dir)
+      val qual = reps
+        .filter(col("shared").cast("double") /
+          (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
+        .select(col("ra"), col("rb"))
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
-        .select(least(col("source_a"), col("source_b")).as("src_lo"),
-          greatest(col("source_a"), col("source_b")).as("src_hi"))
-        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("dup_pairs"))
+      val grpSrc = exactRepMap(s, dir).join(src, "doc_id")
+        .groupBy(col("rep"), col("source")).agg(count(lit(1)).as("cnt"))
+      val cross = qual
+        .join(grpSrc.select(col("rep").as("ra"), col("source").as("sa"),
+          col("cnt").as("na")), "ra")
+        .join(grpSrc.select(col("rep").as("rb"), col("source").as("sb"),
+          col("cnt").as("nb")), "rb")
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"),
+          (col("na") * col("nb")).as("pairs"))
+      val withinBase = grpSrc.join(
+        stagedRepStats(s, dir).filter(col("has_rare") && col("n_mem") >= 2)
+          .select("rep"), Seq("rep"), "left_semi")
+      val within = withinBase
+        .select(col("rep"), col("source").as("sa"), col("cnt").as("na"))
+        .join(withinBase.select(col("rep"), col("source").as("sb"),
+          col("cnt").as("nb")), "rep")
+        .filter(col("sa") <= col("sb"))
+        .select(col("sa").as("src_lo"), col("sb").as("src_hi"),
+          when(col("sa") === col("sb"),
+            (col("na") * (col("na") - 1) / 2).cast("long"))
+            .otherwise(col("na") * col("nb")).as("pairs"))
+      cross.unionByName(within)
+        .groupBy("src_lo", "src_hi").agg(sum("pairs").as("dup_pairs"))
         .orderBy("src_lo", "src_hi")
     }),
 

@@ -94,9 +94,9 @@ object ProfileStaging {
       graft.operators.Dedup.stagedShingles(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
     }
-    // phase 2: capped candidates + shared-count staging (shingles warm)
+    // phase 2: rep-level capped shared-count staging (shingles warm)
     timed("staging_cappedshared") {
-      graft.operators.Dedup.stagedCappedShared(spark, sfDir)
+      graft.operators.Dedup.stagedCappedSharedReps(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
     }
     // phases 3..: the consumer query over the now-warm staged artifact

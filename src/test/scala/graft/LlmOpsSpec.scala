@@ -183,6 +183,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(!coll.exists(t => t._1 >= 95L))
   }
 
+  test("staging work budget is rep-level: heavy exact-duplication cannot trip it") {
+    import spark.implicits._
+    // 100 distinct 5-token texts x 40 exact copies: every shingle is
+    // unique to its text, full-corpus df = 40 <= cap 64 (rare), but
+    // rep-level df = 1 -> ZERO collapsed slots. Two extra singleton docs
+    // share one shingle ("s1 s2 s3"), df 2, rep-level df 2 -> exactly 1
+    // collapsed slot. Uncollapsed slot volume = 100*3*C(40,2) + 1 =
+    // 234001; the collapsed build's work volume = 1. The budget must
+    // measure the LATTER: at budget=1000 the old full-df bound raised
+    // (234001 > 1000) even though the build does 1 slot of work.
+    val dir = java.nio.file.Files.createTempDirectory("graft-budgetfix").toString
+    val texts = (0 until 100).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e")
+    val docs =
+      (for { i <- 0 until 100; k <- 0 until 40 } yield
+        ((i * 40 + k).toLong, texts(i))) ++
+        Seq((4000L, "s1 s2 s3"), (4001L, "s1 s2 s3 zz"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    def messages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    // below the rep-level volume: the build must refuse in-plan (and the
+    // failed build must register nothing, so the next run rebuilds)
+    spark.conf.set("graft.stage.budget", "0")
+    try {
+      val e = intercept[Throwable](run())
+      assert(messages(e).contains("graft.stage.budget"), messages(e).take(500))
+    } finally spark.conf.unset("graft.stage.budget")
+    // far below the uncollapsed slot volume, above the rep-level one:
+    // must build and emit the 40-way dup groups' J=1 pairs
+    spark.conf.set("graft.stage.budget", "1000")
+    try {
+      val rows = run()
+      assert(rows.length === 100 * (40 * 39 / 2) + 1,
+        s"expected all within-group pairs + the shared-shingle pair, got ${rows.length}")
+    } finally spark.conf.unset("graft.stage.budget")
+  }
+
   test("proportional df cap recovers pairs an absolute cap drops at high duplication") {
     import spark.implicits._
     // 20,000 docs → cap = greatest(64, ⌈20000/200⌉) = 100.
