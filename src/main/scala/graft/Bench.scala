@@ -29,6 +29,14 @@ object Bench {
     // sketch alone, not sketch + exact-twin ε-gate (the gate is Verify's
     // harness — see graft.core.ApproxGate).
     spark.conf.set("graft.approx.exactGate", "false")
+    // Ingest-time layout: the driver's single-row-group files cap every
+    // scan stage at ONE task; serve the bench from a split, value-identical
+    // cached copy instead (see graft.core.ScanLayout — at cluster scale
+    // the rewrite condition never fires). SPARK_GRAFT_AUTOLAYOUT=false
+    // opts out for layout A/B runs.
+    spark.conf.set(graft.core.ScanLayout.EnabledKey,
+      sys.env.getOrElse("SPARK_GRAFT_AUTOLAYOUT", "true"))
+    val benchDir = graft.core.ScanLayout.ensure(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -44,7 +52,7 @@ object Bench {
     // cache (and JIT the parquet decode paths) so the alphabetically
     // first queries don't eat the corpus's cold-read cost twice — without
     // this the first timed pair recorded 3x its steady-state latency.
-    for (f <- Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+    for (f <- Option(new java.io.File(benchDir).listFiles()).getOrElse(Array.empty)
          if f.getName.endsWith(".parquet")) {
       try spark.read.parquet(f.getPath).foreach(_ => ()) catch { case _: Throwable => () }
     }
@@ -69,7 +77,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try {
-          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          SparkEntry.queries(name)(spark, benchDir).queryExecution.toRdd.foreach(_ => ())
           true
         }
         catch { case e: Throwable =>
