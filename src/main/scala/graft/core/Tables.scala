@@ -10,8 +10,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown + column pruning from Catalyst for free.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Resolved-relation cache, the catalog behavior every warehouse engine
+    * has: `spark.read.parquet` re-lists the path and re-reads footers on
+    * EVERY call — measured ~85 ms fixed cost per call even for a 2 KB
+    * table (tools/ReadCostProbe.scala), which across a many-query run
+    * multiplies into tens of seconds of pure re-resolution. The resolved
+    * DataFrame is cached per (session, path) and REVALIDATED on every hit
+    * against a stat-level source fingerprint (size+mtime for a file, dir
+    * mtime + child count for a directory — microseconds, vs the ~85 ms
+    * full resolution), so a table dir that is overwritten mid-session
+    * (AnnIndexSpec's regenerated-corpus probe does exactly this) re-lists
+    * instead of serving a stale file list. Sessions key a WeakHashMap: a
+    * rebuilt session (Soak failure isolation) starts cold and dead
+    * sessions drop their entries. Opt out per session with
+    * graft.catalog.cache=false. */
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]()
+
+  private def sourceFp(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.exists) "absent"
+    else if (f.isFile) s"f:${f.length}:${f.lastModified}"
+    else {
+      // child NAMES matter, not just count: an overwrite within one mtime
+      // tick keeps the count (1 part + _SUCCESS) but part names are UUIDs
+      val kids = f.listFiles()
+      val names = if (kids == null) "" else kids.map(_.getName).sorted.mkString(",")
+      s"d:${f.lastModified}:${names.hashCode}:${if (kids == null) 0 else kids.length}"
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (!spark.conf.get("graft.catalog.cache", "true").toBoolean)
+      return spark.read.parquet(path)
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    val fp = sourceFp(path)
+    perSession.get(path) match {
+      case Some((cachedFp, df)) if cachedFp == fp => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        perSession.put(path, (fp, df))
+        df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
