@@ -48,16 +48,36 @@ object Soak {
   private[tools] def buildSession(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Heartbeats ride the same JVM as the work in local mode: a
+      // GC/compute pause longer than spark.network.timeout (120 s
+      // default) makes HeartbeatReceiver declare the in-process
+      // executor dead, which STOPS the whole context — observed once
+      // draining an 855 M-row pair output at 100x (a 132 s starvation).
+      // A soak exists to survive exactly that class of pause.
+      .config("spark.network.timeout", "600s")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
+    // A heartbeat-death stop runs asynchronously; a rebuild racing it
+    // can be handed the half-stopped context (stopped flag up, active
+    // registration not yet cleared) and throws from the session
+    // constructor. Back off until the stop finishes deregistering.
+    var spark: SparkSession = null
+    var waitedMs = 0L
+    while (spark == null) {
+      try spark = builder.getOrCreate()
+      catch {
+        case _: IllegalStateException if waitedMs < 120000 =>
+          Thread.sleep(2000); waitedMs += 2000
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     // Soak measures scale survival of the SCALE shape: approx queries
     // run their sketch alone (see graft.core.ApproxGate); Verify keeps
@@ -138,13 +158,26 @@ object Soak {
       log.println(s"""{"q":"$name","status":"$status","sec":$secS,"rows":${acc.value},"err":"${esc(err)}"}""")
       println(s"SOAK $name: $status ${secS}s rows=${acc.value} $err")
       // failure isolation: a fatal error (OOM) that stopped the context
-      // must cost exactly one failure row, not the rest of the run
-      val (live, rebuilt) = ensureLive(spark, cpus)
-      if (rebuilt) {
-        spark = live
-        rebuilds += 1
-        log.println(s"""{"session_rebuilt":true,"after":"$name"}""")
-        println(s"SOAK session rebuilt after $name (context was stopped)")
+      // must cost exactly one failure row, not the rest of the run. If
+      // the rebuild itself is impossible (a deadlocked context stop),
+      // record THAT and fall through to the summary — a crashed main
+      // loses the artifact's tail, which is worse than a partial run.
+      try {
+        val (live, rebuilt) = ensureLive(spark, cpus)
+        if (rebuilt) {
+          spark = live
+          rebuilds += 1
+          log.println(s"""{"session_rebuilt":true,"after":"$name"}""")
+          println(s"SOAK session rebuilt after $name (context was stopped)")
+        }
+      } catch {
+        case e: Throwable =>
+          errN += 1
+          log.println(s"""{"session_rebuild_failed":true,"after":"$name","err":"${esc(e.toString)}"}""")
+          println(s"SOAK session rebuild FAILED after $name: $e — aborting remaining queries")
+          log.println(s"""{"summary":true,"sf":"$sfDir","queries":${names.size},"ok":$okN,"error":$errN,"timeout":$toN,"session_rebuilds":$rebuilds,"aborted":true}""")
+          log.close()
+          sys.exit(1)
       }
     }
     log.println(s"""{"summary":true,"sf":"$sfDir","queries":${names.size},"ok":$okN,"error":$errN,"timeout":$toN,"session_rebuilds":$rebuilds}""")
