@@ -299,6 +299,20 @@ object TextAnalysis {
         .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_guess")),
 
+    // Code-point Shannon entropy per doc (bits/char) — the cheap
+    // gibberish/boilerplate band filter the stopword-based quality
+    // score is blind to (base64 blobs score "clean"; key-mash and
+    // single-char repetition sit far from language's 3.5-4.5 bits).
+    // Row-local codegen kernel (functions/CharEntropy.scala): one
+    // narrow projection at scan parallelism; the oracle replays the
+    // explode-per-character aggregate formulation cross-engine.
+    "text_char_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(graft.functions.CharEntropy(col("text")), 6).as("char_entropy"))
+        .withColumn("low_entropy", col("char_entropy") < 2.0)
+        .orderBy("doc_id")),
+
     // Composite quality score in [0,1]: stopword share + length credit
     // (capped at 100 tokens) + cleanliness. Typical pre-training filter.
     "text_quality" -> ((s, dir) => {
@@ -908,6 +922,21 @@ object TextAnalysis {
          |            ELSE 'fr' END AS lang_guess,
          |       count(*) AS n
          |FROM h GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+
+    // positive-term Σ p·log₂(1/p) form, matching the kernel: the
+    // algebraically equal -Σ p·log₂p negates an exact 0.0 sum into
+    // -0.0 for one-symbol docs, which hashes apart cross-engine
+    "text_char_entropy" ->
+      """WITH freq AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  GROUP BY doc_id, c),
+        |ent AS (
+        |  SELECT doc_id, round(sum((cnt / n) * log2(n / cnt)), 6) AS char_entropy
+        |  FROM (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM freq)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, char_entropy, char_entropy < 2.0 AS low_entropy
+        |FROM ent ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -16,6 +16,9 @@ object DiagStage {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeats share the JVM with the work; a GC pause
+      // past spark.network.timeout kills the context (see Soak.scala)
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

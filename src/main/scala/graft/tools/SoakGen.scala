@@ -35,6 +35,9 @@ object SoakGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeats share the JVM with the work; a GC pause
+      // past spark.network.timeout kills the context (see Soak.scala)
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, src, dst, copies)

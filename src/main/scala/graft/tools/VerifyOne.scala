@@ -22,6 +22,9 @@ object VerifyOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-mode heartbeats share the JVM with the work; a GC pause
+      // past spark.network.timeout kills the context (see Soak.scala)
+      .config("spark.network.timeout", "600s")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
