@@ -71,8 +71,14 @@ object ScanLayout {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tolerant parse: the flag is fed verbatim from env vars
+    * (SPARK_GRAFT_AUTOLAYOUT), where "1"/"0"/"on"/"off" are natural —
+    * String.toBoolean would abort the whole run on any of them. */
   def enabled(spark: SparkSession): Boolean =
-    spark.conf.get(EnabledKey, "false").toBoolean
+    spark.conf.get(EnabledKey, "false").trim.toLowerCase match {
+      case "true" | "1" | "on" | "yes" => true
+      case _ => false
+    }
 
   /** Returns the directory Bench/Soak should read tables from: `sfDir`
     * itself when disabled/absent, else a cache dir where every table is
@@ -85,8 +91,14 @@ object ScanLayout {
       spark.sparkContext.defaultParallelism).toString).toInt)
     val base = Paths.get(spark.conf.get(BaseKey, "bench_local/scancache"))
     // one cache entry per source dir + split target (a local[4] Verify and
-    // a local[32] Bench must not fight over one entry)
-    val key = src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9._-]", "_") + s"-s$target"
+    // a local[32] Bench must not fight over one entry); the readable
+    // sanitized prefix can alias two paths differing only in squashed
+    // characters, so a hash of the RAW path disambiguates — colliding
+    // entries would silently re-point each other's table links
+    val rawAbs = src.toAbsolutePath.toString
+    val pathHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(rawAbs))
+    val key = rawAbs.replaceAll("[^A-Za-z0-9._-]", "_") + s"-$pathHash-s$target"
     val cacheDir = base.resolve(key)
     Files.createDirectories(cacheDir)
     for (t <- tables) {
@@ -114,15 +126,19 @@ object ScanLayout {
     val perFile = math.max(1L, (rows + wanted - 1) / wanted)
     // single-task write: no shuffle, original row order, one file per
     // maxRecordsPerFile chunk — the split IS the only change
-    spark.read.parquet(tableSrc.toString).coalesce(1)
-      .write.mode("overwrite").option("maxRecordsPerFile", perFile)
-      .parquet(scratch.toString)
-    Files.writeString(scratch.resolve(markerName), fp)
-    try Files.move(scratch, dst, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.io.IOException =>
-        reclaim(scratch) // lost a concurrent publish race — fine iff winner is fresh
-        if (!isFresh(dst, fp)) throw e
+    // ANY failure — the write itself, not just the publish move — must
+    // reclaim the scratch dir: an abandoned .build-* with partial part
+    // files would otherwise accumulate across failed sessions forever
+    try {
+      spark.read.parquet(tableSrc.toString).coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", perFile)
+        .parquet(scratch.toString)
+      Files.writeString(scratch.resolve(markerName), fp)
+      Files.move(scratch, dst, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      // lost a concurrent publish race — fine iff the winner is fresh
+      case _: java.io.IOException if isFresh(dst, fp) => reclaim(scratch)
+      case e: Throwable => reclaim(scratch); throw e
     }
   }
 
@@ -138,7 +154,15 @@ object ScanLayout {
     val abs = src.toAbsolutePath
     if (Files.isSymbolicLink(dst) && Files.readSymbolicLink(dst) == abs) return
     tombstone(dst.getParent, dst)
-    Files.createSymbolicLink(dst, abs)
+    // same publish-race discipline as the rewrite path's ATOMIC_MOVE:
+    // two processes ensuring the same entry both pass the checks above,
+    // and the createSymbolicLink loser must accept the winner's link
+    // rather than kill its run — but only if it points where ours would
+    try Files.createSymbolicLink(dst, abs)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        if (!(Files.isSymbolicLink(dst) && Files.readSymbolicLink(dst) == abs)) throw e
+    }
   }
 
   private def tombstone(cacheDir: Path, dst: Path): Unit = {

@@ -21,12 +21,18 @@ object Tables {
     * mtime + child count for a directory — microseconds, vs the ~85 ms
     * full resolution), so a table dir that is overwritten mid-session
     * (AnnIndexSpec's regenerated-corpus probe does exactly this) re-lists
-    * instead of serving a stale file list. Sessions key a WeakHashMap: a
-    * rebuilt session (Soak failure isolation) starts cold and dead
-    * sessions drop their entries. Opt out per session with
-    * graft.catalog.cache=false. */
+    * instead of serving a stale file list. Stopped sessions' entries are
+    * purged on every lookup: a rebuilt session (Soak failure isolation)
+    * starts cold and the dead session's plans become collectable. Opt
+    * out per session with graft.catalog.cache=false. */
+  // NOT a WeakHashMap: a cached DataFrame strongly references its own
+  // SparkSession, so weak keys would never clear (the value reaches the
+  // key — WeakHashMap's documented degenerate case). Dead sessions are
+  // reclaimed EXPLICITLY instead: every load() first drops entries whose
+  // context is stopped, so a Soak failure-isolation rebuild releases the
+  // dead session's resolved plans and file listings on the next lookup.
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]()
+    scala.collection.concurrent.TrieMap.empty[SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]
 
   private def sourceFp(path: String): String = {
     val f = new java.io.File(path)
@@ -45,14 +51,9 @@ object Tables {
     val path = s"$dir/$name.parquet"
     if (!spark.conf.get("graft.catalog.cache", "true").toBoolean)
       return spark.read.parquet(path)
-    val perSession = relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
-        relationCache.put(spark, m)
-      }
-      m
-    }
+    relationCache.keys.filter(_.sparkContext.isStopped).foreach(relationCache.remove)
+    val perSession = relationCache.getOrElseUpdate(spark,
+      scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)])
     val fp = sourceFp(path)
     perSession.get(path) match {
       case Some((cachedFp, df)) if cachedFp == fp => df

@@ -220,9 +220,7 @@ object Dedup {
     * the capped pair set matches the lossless prefix path again. The
     * cap is a 1-row aggregate broadcast in-plan — no driver fetch. */
   def cappedCandidatesProportional(sh: DataFrame): DataFrame = {
-    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
-      .select(greatest(lit(64L),
-        expr("(n_docs + 199) div 200")).as("cap"))
+    val cap = propCap(sh)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap"))
@@ -264,9 +262,7 @@ object Dedup {
     * pair-for-pair equality on a corpus WITH stop shingles), so the
     * five consumer oracles replay unchanged. */
   def cappedSharedCounts(sh: DataFrame, dfTab: DataFrame): DataFrame = {
-    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
-      .select(greatest(lit(64L),
-        expr("(n_docs + 199) div 200")).as("cap"))
+    val cap = propCap(sh)
     val withCap = dfTab.crossJoin(broadcast(cap))
     val rareIdx = sh.join(withCap.filter(col("df") <= col("cap"))
       .select("shingle"), Seq("shingle"))
@@ -311,8 +307,10 @@ object Dedup {
     * inherent row count. LlmOpsSpec pins pair-for-pair equality against
     * the uncollapsed formulation on a corpus with duplicate groups AND
     * stop shingles. */
-  /** The full-corpus proportional df cap as a 1-row frame:
-    * max(64, ⌈n_docs/200⌉). */
+  /** The full-corpus proportional df cap as a 1-row broadcast frame:
+    * max(64, ⌈n_docs/200⌉). THE single definition of the cap policy —
+    * every capped path (candidates, staging, volume bound, winnow)
+    * derives from here, so a policy change is one edit. */
   private def propCap(fullSh: DataFrame): DataFrame =
     fullSh.agg(countDistinct("doc_id").as("n_docs"))
       .select(greatest(lit(64L),
@@ -823,7 +821,7 @@ object Dedup {
       val shR = stagedShinglesReps(s, dir)
       withStageBudget(
         cappedRepPairs(shR, sh, dfTab),
-        cappedVolumeBound(sh, dfTab, shR), "stagedCappedSharedReps", "shared")
+        cappedVolumeBound(sh, dfTab, shR), "stagedCappedSharedReps")
     }
   /** Per-representative group stats staged beside the rep pairs:
     * n_mem (exact-dup group size) and has_rare (the text owns ≥ 1
@@ -879,9 +877,7 @@ object Dedup {
     * is ever generated. */
   private def cappedVolumeBound(sh: DataFrame, dfTab: DataFrame,
                                 shR: DataFrame): DataFrame = {
-    val cap = sh.agg(countDistinct("doc_id").as("n_docs"))
-      .select(greatest(lit(64L),
-        expr("(n_docs + 199) div 200")).as("cap"))
+    val cap = propCap(sh)
     val dfR = shR.groupBy("shingle").agg(count(lit(1)).as("df_r"))
     dfTab.join(dfR, Seq("shingle"))
       .crossJoin(broadcast(cap))
@@ -899,18 +895,25 @@ object Dedup {
     * lossless prefix path, whose candidate volume does not carry the
     * df² factor. */
   private def withStageBudget(out: DataFrame, est: DataFrame,
-                              what: String, keyCol: String): DataFrame = {
+                              what: String): DataFrame = {
     val budget = out.sparkSession.conf.get("graft.stage.budget", "10000000000").toLong
-    val dt = out.schema(keyCol).dataType
-    out.crossJoin(broadcast(est))
-      .withColumn(keyCol,
-        when(col("pair_est") <= budget, col(keyCol))
-          .otherwise(raise_error(concat(
-            lit(s"$what: staging self-join work volume "), col("pair_est").cast("string"),
-            lit(s" exceeds graft.stage.budget=$budget - use the lossless prefix " +
-              "path (dedup_ngram_jaccard_prefix) or raise the budget")))
-            .cast(dt)))
-      .drop("pair_est")
+    // The guard is evaluated EAGERLY on the 1-row estimate (a bounded
+    // driver-side head(), the allowed pattern) BEFORE the guarded plan
+    // is ever scheduled. The earlier in-plan form — raise_error wired
+    // into the output projection — only fired once the self-join
+    // produced its first output row, i.e. AFTER the map stage had
+    // already performed the work the budget exists to refuse (it looked
+    // preemptive in the 100x soak only because the collapsed rep-level
+    // join there was tiny). raise_error on the estimate row keeps the
+    // exception class and message identical to the in-plan form.
+    est.select(
+      when(col("pair_est") <= budget, col("pair_est"))
+        .otherwise(raise_error(concat(
+          lit(s"$what: staging self-join work volume "), col("pair_est").cast("string"),
+          lit(s" exceeds graft.stage.budget=$budget - use the lossless prefix " +
+            "path (dedup_ngram_jaccard_prefix) or raise the budget")))
+          .cast("long"))).head(): Unit
+    out
   }
   /** LSH candidate pairs staged per band shape: the tuning sweep consumes
     * each config's candidate set twice (candidate count + exact verify) and
@@ -1010,18 +1013,20 @@ object Dedup {
     * Intermediate volume is guarded separately at its source:
     * [[withStageBudget]] on the capped staging build. */
   private def withPairBudget(out: DataFrame, est: DataFrame,
-                             query: String, keyCol: String): DataFrame = {
+                             query: String): DataFrame = {
     val budget = out.sparkSession.conf.get("graft.pairs.budget", "1000000000").toLong
-    val dt = out.schema(keyCol).dataType
-    out.crossJoin(broadcast(est))
-      .withColumn(keyCol,
-        when(col("pair_est") <= budget, col(keyCol))
-          .otherwise(raise_error(concat(
-            lit(s"$query: estimated pair output "), col("pair_est").cast("string"),
-            lit(s" exceeds graft.pairs.budget=$budget - use the O(docs) twin " +
-              "(dedup_simhash_clusters / dedup_containment_topk) or raise the budget")))
-            .cast(dt)))
-      .drop("pair_est")
+    // Eager 1-row guard, same rationale as [[withStageBudget]]: the
+    // budget must refuse BEFORE the expansion/join is scheduled, and an
+    // output-projection raise_error cannot fire until the guarded plan
+    // has already produced a row.
+    est.select(
+      when(col("pair_est") <= budget, col("pair_est"))
+        .otherwise(raise_error(concat(
+          lit(s"$query: estimated pair output "), col("pair_est").cast("string"),
+          lit(s" exceeds graft.pairs.budget=$budget - use the O(docs) twin " +
+            "(dedup_simhash_clusters / dedup_containment_topk) or raise the budget")))
+          .cast("long"))).head(): Unit
+    out
   }
 
   /** Upper bound on the banded simhash pair count WITHOUT running the
@@ -1373,7 +1378,7 @@ object Dedup {
         .agg(coalesce(sum(col("n_mem") * (col("n_mem") - 1)), lit(0L)).as("we"))
       withPairBudget(pairs,
         crossEst.crossJoin(withinEst).select((col("ce") + col("we")).as("pair_est")),
-        "dedup_containment", "src_doc")
+        "dedup_containment")
     }),
 
     // Containment with BOUNDED emission — the re-crawl-shaped-corpus
@@ -1496,7 +1501,7 @@ object Dedup {
     // re-crawl-shaped corpora.
     "dedup_simhash_pairs" -> ((s, dir) =>
       withPairBudget(simhashPairs(s, dir).orderBy("doc_a", "doc_b"),
-        simhashPairBound(s, dir), "dedup_simhash_pairs", "doc_a")),
+        simhashPairBound(s, dir), "dedup_simhash_pairs")),
 
     // The O(docs) resolution of the simhash graph — the shape that
     // SUPERSEDES the pair query on duplicate-heavy corpora: the pair
@@ -1627,8 +1632,7 @@ object Dedup {
     // (50k docs -> cap 250) is where it engages.
     "dedup_winnow_pairs" -> ((s, dir) => {
       val fps = stagedWinnowFps(s, dir)
-      val cap = fps.agg(countDistinct("doc_id").as("n_docs"))
-        .select(greatest(lit(64L), expr("(n_docs + 199) div 200")).as("cap"))
+      val cap = propCap(fps)
       val rare = fps
         .join(fps.groupBy("fp").agg(count(lit(1)).as("df")), "fp")
         .crossJoin(broadcast(cap))

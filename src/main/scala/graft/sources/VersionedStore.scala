@@ -112,23 +112,27 @@ object VersionedStore {
     val v = batchId + 1
     if (isComplete(base, v)) return v
     val scratch = Paths.get(base, s".build-v$v-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.toString)
-    val target = Paths.get(base, s"v=$v")
-    // a half-written target (no _SUCCESS) blocks the rename: tombstone
-    // it the same way deleteVersion does
-    if (Files.isDirectory(target) && !isComplete(base, v)) {
-      val tomb = Paths.get(base, s".deleting-v$v-${System.nanoTime()}")
-      try { Files.move(target, tomb); reclaim(tomb) }
-      catch { case _: java.nio.file.NoSuchFileException => () }
-    }
-    try Files.move(scratch, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.io.IOException =>
-        // lost the publish race: fine IFF the winner's version is
-        // complete (content is deterministic); anything else is a real
-        // filesystem failure and must surface
-        reclaim(scratch)
-        if (!isComplete(base, v)) throw e
+    // a failed SNAPSHOT WRITE must reclaim its scratch too, not just a
+    // lost publish race: an abandoned .build-* holds partial corpus-
+    // sized part files under a durable store base, and every failed or
+    // killed build would otherwise accumulate disk across sessions
+    try {
+      df.write.mode("overwrite").parquet(scratch.toString)
+      val target = Paths.get(base, s"v=$v")
+      // a half-written target (no _SUCCESS) blocks the rename: tombstone
+      // it the same way deleteVersion does
+      if (Files.isDirectory(target) && !isComplete(base, v)) {
+        val tomb = Paths.get(base, s".deleting-v$v-${System.nanoTime()}")
+        try { Files.move(target, tomb); reclaim(tomb) }
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+      Files.move(scratch, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      // lost the publish race: fine IFF the winner's version is
+      // complete (content is deterministic); anything else is a real
+      // failure and must surface — after the scratch is reclaimed
+      case _: java.io.IOException if isComplete(base, v) => reclaim(scratch)
+      case e: Throwable => reclaim(scratch); throw e
     }
     v
   }

@@ -68,8 +68,12 @@ object StreamSoak {
     // (0.5, 1): never below the match threshold (which would erode the
     // >=1-pair-per-doc invariant) and never rounding to 1.0 at 6
     // decimals (that would take > ~10^7 shingles in one doc).
+    // cached like `corpus` above: every copy's batch triggers TWO
+    // actions referencing this full-multi-copy aggregate (the mutated
+    // count + the parquet write) — uncached, input generation re-runs
+    // the corpus-wide tokenize+shingle ~2x per copy, O(copies²) total
     val shCount = graft.operators.Dedup.shingles(docs)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
     val eligible = coalesce(
       pmod(crc32(col("doc_id").cast("string")), lit(10)) === 0 && col("n_sh") >= 12,
       lit(false))
