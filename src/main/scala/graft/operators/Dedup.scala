@@ -941,6 +941,25 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     }
+  /** REP-LEVEL LSH candidate pairs for the tuning sweep: the band
+    * self-join runs over one signature per distinct text (identical
+    * texts hash to identical signatures, so the doc-level candidate set
+    * is exactly this set expanded through the member map — the tuning
+    * query does that expansion analytically on group sizes). Staged:
+    * each config's rep pairs feed both the candidate count and the
+    * exact verify. Rep-level minhash sigs are staged beneath it, shared
+    * across the three configs. */
+  def stagedLshCandidatesReps(s: SparkSession, dir: String, b: Int, r: Int): DataFrame =
+    staged(s, s"$dir|lshcandR|${b}x$r") {
+      val sigsR = staged(s, s"$dir|minhashR")(
+        minhashSignature(stagedShinglesReps(s, dir)))
+      val bands = lshBandsCfg(sigsR, b, r)
+      bands.select(col("doc_id").as("ra"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("rb"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("ra") < col("rb"))
+        .select("ra", "rb").distinct()
+    }
   /** Distinct (doc_id, winnow fingerprint) pairs — K=8 char grams, W=16
     * window minima (the doc_winnow_fingerprints derivation). Staged:
     * the per-doc profile reads it once, the cross-doc pair join twice. */
@@ -1294,17 +1313,44 @@ object Dedup {
     // reporting each configuration's candidate volume (its cost) and
     // verified J ≥ 0.5 pairs (its recall). More, narrower bands = more
     // candidates + higher recall; the curve makes the trade-off a
-    // measurement instead of folklore. Signatures staged once; each
-    // config is one band self-join + candidate-pruned verify.
+    // measurement instead of folklore.
+    //
+    // EXACT-DUP COLLAPSE, counts pushed through the expansion: identical
+    // texts have identical minhash signatures, so (a) every pair inside
+    // an exact-dup group with ≥ 1 shingle co-occurs in EVERY band bucket
+    // (always a candidate, J = 1 always verified), and (b) a cross-group
+    // doc pair is a candidate iff its two REPRESENTATIVES share a bucket,
+    // with J equal to the rep pair's. Both counts therefore expand
+    // analytically — Σ C(n_mem, 2) within, Σ na·nb over qualifying rep
+    // pairs across — and the band self-joins + exact verifies run on one
+    // representative per distinct text. On a 10-way-replicated 10×
+    // corpus the doc-level sweep verified ~870 k array-carrying pairs of
+    // which ~90% were within-group J = 1 trivia; rep level verifies only
+    // the distinct-text pairs. Output is row-identical to the doc-level
+    // sweep (the DuckDB oracle still replays doc level).
     "dedup_lsh_tuning" -> ((s, dir) => {
-      val sh = stagedShingles(s, dir)
+      val shR = stagedShinglesReps(s, dir)
+      val stats = stagedRepStats(s, dir)
+      // groups that own ≥ 1 shingle: only they have signatures at all
+      val withSh = shR.select(col("doc_id").as("rep")).distinct()
+      val within = stats.join(withSh, "rep")
+        .agg(coalesce(sum(expr("(n_mem * (n_mem - 1)) div 2")), lit(0L)).as("w"))
       Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
-        val cand = stagedLshCandidates(s, dir, b, r)
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(jaccardBySets(cand, sh).filter(col("jaccard") >= 0.5)
-            .agg(count(lit(1)).as("n_verified")))
+        val candR = stagedLshCandidatesReps(s, dir, b, r)
+        val na = stats.select(col("rep").as("ra"), col("n_mem").as("na"))
+        val nb = stats.select(col("rep").as("rb"), col("n_mem").as("nb"))
+        val candN = candR.join(na, "ra").join(nb, "rb")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("c"))
+        val verN = jaccardBySets(
+            candR.select(col("ra").as("doc_a"), col("rb").as("doc_b")), shR)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("ra"), col("doc_b").as("rb"))
+          .join(na, "ra").join(nb, "rb")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("v"))
+        within.crossJoin(candN).crossJoin(verN)
           .select(lit(s"${b}x$r").as("config"),
-            col("n_candidates"), col("n_verified"))
+            (col("w") + col("c")).as("n_candidates"),
+            (col("w") + col("v")).as("n_verified"))
       }.reduce(_ unionByName _).orderBy("config")
     }),
 
