@@ -48,8 +48,11 @@ object Staged {
     java.nio.file.Files.exists(java.nio.file.Paths.get(d, Marker))
 
   /** Stable unique id per session, minted once into the session-local
-    * runtime conf — hashCode can collide and doesn't identify a session. */
-  private def sessionId(s: SparkSession): String = synchronized {
+    * runtime conf — hashCode can collide and doesn't identify a session.
+    * private[graft]: also the memo key for other per-(session, corpus)
+    * driver-side decisions (Dedup's duplication profile, StreamOracle's
+    * sink rotation) — one id-minting scheme, not three. */
+  private[graft] def sessionId(s: SparkSession): String = synchronized {
     val k = "graft.stage.session.id"
     s.conf.getOption(k).getOrElse {
       val id = java.util.UUID.randomUUID().toString

@@ -180,14 +180,28 @@ object Dedup {
     * would reintroduce the stop-shingle cliff the prefix filter exists
     * to avoid. */
   def jaccardBySetsTiered(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
+    // The screen's cost is CPU (an array_intersect over ~500-element
+    // hashed sets per candidate pair), but its shuffled BYTES are tiny —
+    // AQE's byte-based coalescing folded these stages to 1-2 tasks and
+    // serialized the intersect work (measured 0.7-0.9 s per 2-task stage
+    // at sf0.1). Pinning the two join exchanges at defaultParallelism
+    // keeps the per-pair kernel spread across the machine; the shuffle
+    // volume is unchanged, only the reducer count. At cluster scale the
+    // candidate stream is large enough that AQE would pick a wide plan
+    // anyway — the pin only matters in exactly this small-bytes/high-CPU
+    // regime.
+    val p = sh.sparkSession.sparkContext.defaultParallelism
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
     val hsets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .repartition(p, col("doc_id"))
       .groupBy("doc_id")
       .agg(collect_set(hash60(col("shingle"))).as("hset"))
     val screened = cand
+      .repartition(p, col("doc_a"))
       .join(hsets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .repartition(p, col("doc_b"))
       .join(hsets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
       .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
       .filter(col("shared").cast("double") /
@@ -507,6 +521,55 @@ object Dedup {
     * on a re-crawl-shaped corpus most duplication is exact, and the
     * shingle self-join over k exact copies does k² of the work one
     * representative does. */
+  /** Corpus duplication gate for the capped/prefix near-dup family —
+    * true ⇒ run the ORIGINAL DOC-LEVEL formulation (self-join over the
+    * full shingle index; within-dup-group pairs emerge from the join
+    * itself), false ⇒ the round-10 rep-collapsed pipeline (self-join
+    * over one representative per distinct text, qualifying pairs
+    * expanded through the member map).
+    *
+    * Both paths are CORRECT on any corpus — LlmOpsSpec pins pair-for-
+    * pair equality on a fixture with 40-way duplicate groups, and
+    * RepCollapseGateSpec A/Bs the shipped queries across the gate — the
+    * choice is purely a cost model: the rep indirection saves ~dup² of
+    * self-join work on a re-crawl-shaped corpus (OOM → 41 s at 30×) but
+    * COSTS an extra staged artifact plus 2-3 expansion joins per
+    * consumer, which on a nearly-dup-free corpus is pure overhead
+    * (round-10 accepted sf0.1 regressions: prefix 2.55 → 3.3-3.8 s,
+    * capped 0.26 → ~1.3 s). The decision statistic is the exact
+    * within-group pair mass Σ C(k_g, 2) over exact-dup text groups —
+    * the quadratic slot inflation the doc-level self-join would pay per
+    * shared rare shingle — from ONE narrow aggregate over md5(text)
+    * (bounded driver-side head, the budget-guard pattern), memoized per
+    * (session, corpus). Doc level iff that mass ≤ max(64, n_docs/100):
+    * sf0.1's 8 duplicate pairs in 5 000 docs stay doc-level; a SoakGen
+    * N-way replica (every text an N-way group) or any real re-crawl
+    * trips to rep level. A pure function of the corpus, so the (path-
+    * independent) DuckDB oracles replay unchanged.
+    * `graft.dedup.repcollapse=force` pins the rep path and `=off` the
+    * doc-level path regardless of corpus (RepCollapseGateSpec's A/B
+    * knobs; `off` doubles as the operational escape hatch). */
+  private val docLevelMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[graft] def docLevelPath(s: SparkSession, dir: String): Boolean =
+    s.conf.get("graft.dedup.repcollapse", "auto") match {
+      case "force" => false // pin rep path (spec A/B)
+      case "off"   => true  // pin doc-level path (spec A/B + escape hatch)
+      case _ =>
+        docLevelMemo.getOrElseUpdate(graft.core.Staged.sessionId(s) + "|" + dir, {
+          val r = Tables.documents(s, dir)
+            .filter(col("text").isNotNull)
+            .groupBy(md5(col("text"))).agg(count(lit(1)).as("k"))
+            .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L)).as("dup_pairs"),
+              coalesce(sum(col("k")), lit(0L)).as("n_docs")).head()
+          r.getLong(0) <= math.max(64L, r.getLong(1) / 100)
+        })
+    }
+  /** Staging-key suffix for artifacts whose CONTENT depends on the gate
+    * (rep-level vs doc-level pair tables): a force/auto A/B within one
+    * session must never read the other path's staged parquet. */
+  private def pathTag(s: SparkSession, dir: String): String =
+    if (docLevelPath(s, dir)) "doc" else "rep"
+
   private def exactRepMap(s: SparkSession, dir: String): DataFrame =
     staged(s, s"$dir|exactreps") {
       val fp = Tables.documents(s, dir)
@@ -815,7 +878,7 @@ object Dedup {
     * through [[exactRepMap]] afterwards — the only dup²-sized rows that
     * ever exist are the qualifying output pairs themselves. */
   def stagedCappedSharedReps(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|cappedrepshared|prop") {
+    staged(s, s"$dir|cappedrepshared|prop|${pathTag(s, dir)}") {
       val sh = stagedShingles(s, dir)
       val dfTab = stagedShingleDf(s, dir)
       val shR = stagedShinglesReps(s, dir)
@@ -848,7 +911,10 @@ object Dedup {
     * re-running the semi-join against the full index would re-shuffle
     * the posting stream each time). */
   def stagedShinglesReps(s: SparkSession, dir: String): DataFrame =
-    staged(s, s"$dir|shinglesR")(
+    // identity rep map ⇒ the restriction is the whole index: skip the
+    // semi-join AND the second staged copy of the full shingle table
+    if (docLevelPath(s, dir)) stagedShingles(s, dir)
+    else staged(s, s"$dir|shinglesR")(
       stagedShingles(s, dir).join(
         exactRepMap(s, dir).filter(col("doc_id") === col("rep"))
           .select("doc_id"),
@@ -1095,7 +1161,13 @@ object Dedup {
         round(col("shared").cast("double") /
           (col("ca") + col("cb") - col("shared")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    expandQualified(qual, "jaccard", 1.0,
+    // doc-level path: the staged artifact is already doc-granular (the
+    // self-join ran over the FULL index, so within-dup-group pairs
+    // emerged from the join itself) — no expansion, no rep-stats staging
+    if (docLevelPath(s, dir))
+      qual.select(col("ra").as("doc_a"), col("rb").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    else expandQualified(qual, "jaccard", 1.0,
       exactRepMap(s, dir), stagedRepStats(s, dir))
       .orderBy("doc_a", "doc_b")
   }
@@ -1271,31 +1343,36 @@ object Dedup {
     // pair-for-pair.
     "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
       val t = 0.5
-      val repMap = exactRepMap(s, dir)
       val shR = stagedShinglesReps(s, dir)
-      val candR = staged(s, s"$dir|prefixcandR|$t")(
+      val candR = staged(s, s"$dir|prefixcandR|$t|${pathTag(s, dir)}")(
         pairsSharing(prefixes(shR, t), t).distinct())
       val repPairs = jaccardBySetsTiered(candR, shR, t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= t)
-      val members = repMap.select(col("rep"), col("doc_id").as("m"))
-      // expansion is ordered per OUTPUT pair: group members interleave
-      // across rep groups, so least/greatest, not (rep_a, rep_b) order
-      val cross = repPairs
-        .join(members.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
-        .join(members.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
-        .select(least(col("ma"), col("mb")).as("doc_a"),
-          greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
-      // reps with >= 1 shingle (shingle-less texts have no pairs in the
-      // uncollapsed formulation either)
-      val shingled = shR.select("doc_id").distinct().select(col("doc_id").as("rep"))
-      val within = members.join(shingled, "rep")
-        .select(col("rep"), col("m").as("ma"))
-        .join(members.select(col("rep"), col("m").as("mb")), "rep")
-        .filter(col("ma") < col("mb"))
-        .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
-          lit(1.0).as("jaccard"))
-      cross.unionByName(within).orderBy("doc_a", "doc_b")
+      // doc-level path: the prefix pipeline ran over the FULL index, so
+      // repPairs ARE the doc pairs (dup pairs verified at J = 1 by the
+      // tiered verify itself) — no expansion
+      if (docLevelPath(s, dir)) repPairs.orderBy("doc_a", "doc_b")
+      else {
+        val members = exactRepMap(s, dir).select(col("rep"), col("doc_id").as("m"))
+        // expansion is ordered per OUTPUT pair: group members interleave
+        // across rep groups, so least/greatest, not (rep_a, rep_b) order
+        val cross = repPairs
+          .join(members.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+          .join(members.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
+          .select(least(col("ma"), col("mb")).as("doc_a"),
+            greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+        // reps with >= 1 shingle (shingle-less texts have no pairs in the
+        // uncollapsed formulation either)
+        val shingled = shR.select("doc_id").distinct().select(col("doc_id").as("rep"))
+        val within = members.join(shingled, "rep")
+          .select(col("rep"), col("m").as("ma"))
+          .join(members.select(col("rep"), col("m").as("mb")), "rep")
+          .filter(col("ma") < col("mb"))
+          .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+            lit(1.0).as("jaccard"))
+        cross.unionByName(within).orderBy("doc_a", "doc_b")
+      }
     }),
 
     // MinHash + LSH candidates, verified with exact Jaccard ≥ 0.5.
@@ -1328,7 +1405,27 @@ object Dedup {
     // which ~90% were within-group J = 1 trivia; rep level verifies only
     // the distinct-text pairs. Output is row-identical to the doc-level
     // sweep (the DuckDB oracle still replays doc level).
-    "dedup_lsh_tuning" -> ((s, dir) => {
+    "dedup_lsh_tuning" -> ((s, dir) =>
+      if (docLevelPath(s, dir)) {
+        // doc-level path: count candidates and verified pairs directly —
+        // the analytic expansion (Σ C(n_mem,2) + Σ na·nb) exists only to
+        // avoid enumerating dup-group pairs, and with the gate's pair
+        // mass ≤ max(64, n/100) enumerating them is cheaper than the
+        // rep-stats staging it would replace. NOTE the rep-level branch
+        // below must NOT run with a doc-level shR: its candidate pairs
+        // would carry non-rep doc ids and the stats join on ra/rb would
+        // silently drop them.
+        val sh = stagedShingles(s, dir)
+        Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+          val cand = stagedLshCandidates(s, dir, b, r)
+          val candN = cand.agg(count(lit(1)).as("c"))
+          val verN = jaccardBySets(cand, sh)
+            .filter(col("jaccard") >= 0.5).agg(count(lit(1)).as("v"))
+          candN.crossJoin(verN)
+            .select(lit(s"${b}x$r").as("config"),
+              col("c").as("n_candidates"), col("v").as("n_verified"))
+        }.reduce(_ unionByName _).orderBy("config")
+      } else {
       val shR = stagedShinglesReps(s, dir)
       val stats = stagedRepStats(s, dir)
       // groups that own ≥ 1 shingle: only they have signatures at all
@@ -1352,7 +1449,7 @@ object Dedup {
             (col("w") + col("c")).as("n_candidates"),
             (col("w") + col("v")).as("n_verified"))
       }.reduce(_ unionByName _).orderBy("config")
-    }),
+      }),
 
     // Estimator calibration — MinHash agreement (the estimate an LSH
     // pipeline ranks by) side by side with exact Jaccard for every LSH
@@ -1396,35 +1493,47 @@ object Dedup {
     // of those is rare — LlmOpsSpec asserts equality with the uncapped
     // formulation, and the oracle replays the same capped candidates.
     "dedup_containment" -> ((s, dir) => {
-      val mem = exactRepMap(s, dir)
-      val stats = stagedRepStats(s, dir)
       val qual = containmentQualified(s, dir)
-      // threshold applied at REP level (the quotient is set-determined,
-      // so it commutes with exact-dup expansion); only qualifying
-      // directed pairs fan out through the member map
-      val cross = qual
-        .join(mem.select(col("rep").as("sra"), col("doc_id").as("src_doc")), "sra")
-        .join(mem.select(col("rep").as("srb"), col("doc_id").as("dst_doc")), "srb")
-        .select(col("src_doc"), col("dst_doc"), col("containment"))
-      val within = mem
-        .join(stats.filter(col("has_rare")).select("rep"), Seq("rep"), "left_semi")
-        .select(col("rep"), col("doc_id").as("src_doc"))
-        .join(mem.select(col("rep"), col("doc_id").as("dst_doc")), "rep")
-        .filter(col("src_doc") =!= col("dst_doc"))
-        .select(col("src_doc"), col("dst_doc"), lit(1.0).as("containment"))
-      val pairs = cross.unionByName(within).orderBy("src_doc", "dst_doc")
-      // budget guard computed ENTIRELY at rep granularity: Σ qualifying
-      // directed rep pairs × |A|·|B| plus the within-group n·(n−1) —
-      // never runs the expansion it is guarding
-      val crossEst = qual
-        .join(stats.select(col("rep").as("sra"), col("n_mem").as("na")), "sra")
-        .join(stats.select(col("rep").as("srb"), col("n_mem").as("nb")), "srb")
-        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("ce"))
-      val withinEst = stats.filter(col("has_rare"))
-        .agg(coalesce(sum(col("n_mem") * (col("n_mem") - 1)), lit(0L)).as("we"))
-      withPairBudget(pairs,
-        crossEst.crossJoin(withinEst).select((col("ce") + col("we")).as("pair_est")),
-        "dedup_containment")
+      if (docLevelPath(s, dir)) {
+        // doc-level path: the directed pairs are already doc-granular;
+        // the budget estimate degenerates to the qualifying-pair count
+        // (one aggregate over the staged artifact — still evaluated
+        // before the output is scheduled)
+        val pairs = qual.select(col("sra").as("src_doc"),
+            col("srb").as("dst_doc"), col("containment"))
+          .orderBy("src_doc", "dst_doc")
+        withPairBudget(pairs,
+          qual.agg(count(lit(1)).as("pair_est")), "dedup_containment")
+      } else {
+        val mem = exactRepMap(s, dir)
+        val stats = stagedRepStats(s, dir)
+        // threshold applied at REP level (the quotient is set-determined,
+        // so it commutes with exact-dup expansion); only qualifying
+        // directed pairs fan out through the member map
+        val cross = qual
+          .join(mem.select(col("rep").as("sra"), col("doc_id").as("src_doc")), "sra")
+          .join(mem.select(col("rep").as("srb"), col("doc_id").as("dst_doc")), "srb")
+          .select(col("src_doc"), col("dst_doc"), col("containment"))
+        val within = mem
+          .join(stats.filter(col("has_rare")).select("rep"), Seq("rep"), "left_semi")
+          .select(col("rep"), col("doc_id").as("src_doc"))
+          .join(mem.select(col("rep"), col("doc_id").as("dst_doc")), "rep")
+          .filter(col("src_doc") =!= col("dst_doc"))
+          .select(col("src_doc"), col("dst_doc"), lit(1.0).as("containment"))
+        val pairs = cross.unionByName(within).orderBy("src_doc", "dst_doc")
+        // budget guard computed ENTIRELY at rep granularity: Σ qualifying
+        // directed rep pairs × |A|·|B| plus the within-group n·(n−1) —
+        // never runs the expansion it is guarding
+        val crossEst = qual
+          .join(stats.select(col("rep").as("sra"), col("n_mem").as("na")), "sra")
+          .join(stats.select(col("rep").as("srb"), col("n_mem").as("nb")), "srb")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("ce"))
+        val withinEst = stats.filter(col("has_rare"))
+          .agg(coalesce(sum(col("n_mem") * (col("n_mem") - 1)), lit(0L)).as("we"))
+        withPairBudget(pairs,
+          crossEst.crossJoin(withinEst).select((col("ce") + col("we")).as("pair_est")),
+          "dedup_containment")
+      }
     }),
 
     // Containment with BOUNDED emission — the re-crawl-shaped-corpus
@@ -1440,6 +1549,20 @@ object Dedup {
     // (bit-identical cross-engine, so the ordering replays too).
     "dedup_containment_topk" -> ((s, dir) => {
       val K = 3
+      if (docLevelPath(s, dir)) {
+        // doc-level path: rank directly over the (already doc-granular)
+        // directed pairs — the level-cut machinery exists only to decide
+        // the cut without expanding groups, and nothing needs expanding
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src_doc").orderBy(desc("containment"), col("dst_doc"))
+        containmentQualified(s, dir)
+          .select(col("sra").as("src_doc"), col("srb").as("dst_doc"),
+            col("containment"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+          .select(col("src_doc"), col("rk"), col("dst_doc"), col("containment"))
+          .orderBy("src_doc", "rk")
+      } else {
       val mem = exactRepMap(s, dir)
       val stats = stagedRepStats(s, dir)
       // every member of a group sees the SAME candidate score multiset
@@ -1474,6 +1597,7 @@ object Dedup {
         .filter(col("rk") <= K)
         .select(col("src_doc"), col("rk"), col("dst_doc"), col("containment"))
         .orderBy("src_doc", "rk")
+      }
     }),
 
     // Cross-source duplication matrix: near-dup pairs (J >= 0.5, df-capped
@@ -1494,6 +1618,17 @@ object Dedup {
           (col("ca") + col("cb") - col("shared")).cast("double") >= 0.5)
         .select(col("ra"), col("rb"))
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      if (docLevelPath(s, dir)) {
+        // doc-level path: qualifying pairs are doc pairs — roll them up
+        // against the doc→source map directly
+        qual
+          .join(src.select(col("doc_id").as("ra"), col("source").as("sa")), "ra")
+          .join(src.select(col("doc_id").as("rb"), col("source").as("sb")), "rb")
+          .select(least(col("sa"), col("sb")).as("src_lo"),
+            greatest(col("sa"), col("sb")).as("src_hi"))
+          .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("dup_pairs"))
+          .orderBy("src_lo", "src_hi")
+      } else {
       val grpSrc = exactRepMap(s, dir).join(src, "doc_id")
         .groupBy(col("rep"), col("source")).agg(count(lit(1)).as("cnt"))
       val cross = qual
@@ -1519,6 +1654,7 @@ object Dedup {
       cross.unionByName(within)
         .groupBy("src_lo", "src_hi").agg(sum("pairs").as("dup_pairs"))
         .orderBy("src_lo", "src_hi")
+      }
     }),
 
     // Shingle document-frequency histogram (log2 buckets) — the corpus
