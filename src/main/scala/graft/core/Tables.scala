@@ -47,6 +47,15 @@ object Tables {
     }
   }
 
+  /** Drop one session's cached relations explicitly. The automatic purge
+    * below keys on a STOPPED SparkContext, which covers every session
+    * this codebase creates (stop() stops the shared context) — but a
+    * caller juggling `newSession()` clones shares one live context
+    * across sessions it may abandon individually, and those clones'
+    * entries would otherwise live until the context stops. Such callers
+    * evict explicitly when done with a clone. */
+  def evict(spark: SparkSession): Unit = relationCache.remove(spark): Unit
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (!spark.conf.get("graft.catalog.cache", "true").toBoolean)

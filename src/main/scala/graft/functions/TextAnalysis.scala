@@ -935,8 +935,13 @@ object TextAnalysis {
         |  SELECT doc_id, round(sum((cnt / n) * log2(n / cnt)), 6) AS char_entropy
         |  FROM (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM freq)
         |  GROUP BY doc_id)
-        |SELECT doc_id, char_entropy, char_entropy < 2.0 AS low_entropy
-        |FROM ent ORDER BY doc_id""".stripMargin,
+        |-- LEFT JOIN from documents, not FROM ent: a NULL text unnests to
+        |-- zero freq rows and would DROP the doc here, while the Spark
+        |-- kernel emits its row with NULL entropy (NULL in -> NULL out);
+        |-- the join realigns the row sets (NULL < 2.0 is NULL both sides)
+        |SELECT d.doc_id, e.char_entropy, e.char_entropy < 2.0 AS low_entropy
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -1184,6 +1184,16 @@ object Dedup {
     fwd.union(rev).filter(col("containment") >= 0.8)
   }
 
+  /** CONSTRUCTION-TIME SIDE EFFECT: the budget-guarded queries here
+    * (capped staging consumers, the pair-emitting diagnostics) evaluate
+    * their 1-row cost estimate and read `graft.stage.budget` /
+    * `graft.pairs.budget` EAGERLY when the DataFrame is BUILT — a caller
+    * that only constructs the plan (explain, schema check) pays the
+    * estimate job, and a budget conf change after construction is not
+    * seen at execution. Deliberate: the guard must refuse BEFORE the
+    * guarded join is ever scheduled (an in-plan raise_error cannot fire
+    * until the work it exists to refuse has produced a row). Set budget
+    * confs before calling into this map. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via content fingerprint: representative (min doc_id)

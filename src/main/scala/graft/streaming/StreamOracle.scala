@@ -39,19 +39,24 @@ object StreamOracle {
   private def uniq(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
-  private val lastSink = scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Mint this run's sink name and DROP the previous run's: each memory
     * sink holds its complete drained result on the driver, so a session
     * that re-invokes the stream queries (Bench's repeat passes, a soak
     * loop) would otherwise accrete one full result set per invocation,
     * unreachable by name and freed only at session death. By the time
     * the SAME query is re-invoked, its previous result has been
-    * materialized by the caller, so the previous view is safe to drop. */
+    * materialized by the caller, so the previous view is safe to drop.
+    * The previous name lives in the SESSION-scoped runtime conf rather
+    * than a global map: identityHashCode keys can collide across
+    * sessions (a collision would silently skip the drop) and a global
+    * map retains entries for dead sessions forever — conf state is
+    * per-session by construction and dies with it. */
   private def freshSink(s: SparkSession, prefix: String): String = {
     val name = uniq(prefix)
-    lastSink.put(s"${System.identityHashCode(s)}|$prefix", name)
+    val key = s"graft.stream.lastsink.$prefix"
+    s.conf.getOption(key)
       .foreach(prev => try { s.catalog.dropTempView(prev); () } catch { case _: Throwable => () })
+    s.conf.set(key, name)
     name
   }
 
@@ -112,8 +117,41 @@ object StreamOracle {
         eventStream(s, dir).dropDuplicates("user_id", "event_type")
           .select(col("user_id"), col("event_type")),
         freshSink(s, "so_dd"), mode = "append")
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // The same cross-trigger dedup drained through a DISTRIBUTED sink:
+    // executor-side parquet writes under the file sink's commit protocol
+    // (per-batch transaction log in _spark_metadata, read back through
+    // that log so uncommitted files are invisible). This closes the one
+    // asterisk on the O11/O12 evidence — every other oracle-registered
+    // stream drains a driver-resident memory sink — and puts the full
+    // production write path (state store → append output → sink commit →
+    // committed-files-only read-back) inside the cross-engine gate. The
+    // stream runs ONCE per (session, corpus) under Staged's completion
+    // marker; StreamOracleSpec restarts it over the same checkpoint and
+    // asserts the sink is byte-stable (exactly-once on replay).
+    "stream_dedup_sink" -> ((s, dir) => {
+      val out = Staged.materialize(s, s"$dir|streamdedupsink")(d =>
+        dedupSinkRun(s, dir, d))
+      s.read.parquet(s"$out/data").orderBy("user_id", "event_type")
+    })
   )
+
+  /** One AvailableNow run of the dedup topology into the parquet file
+    * sink under `d` — factored out so the spec can REPLAY it over the
+    * same checkpoint and prove the restart writes nothing new. */
+  private[graft] def dedupSinkRun(s: SparkSession, dir: String, d: String): Unit = {
+    val q = eventStream(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$d/data")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   def oracles: Map[String, String] = Map(
     // identical to the batch wordcount oracle — the stream must land on
@@ -129,6 +167,12 @@ object StreamOracle {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // same key set as stream_dedup_keys — the sink swap must not change
+    // the answer
+    "stream_dedup_sink" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin
   )

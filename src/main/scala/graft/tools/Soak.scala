@@ -73,7 +73,17 @@ object Soak {
     while (spark == null) {
       try spark = builder.getOrCreate()
       catch {
-        case _: IllegalStateException if waitedMs < 120000 =>
+        // Only the half-stopped-context race is worth waiting out; any
+        // other IllegalStateException is a real misconfiguration and
+        // must fail fast instead of burning the full 120 s backoff.
+        // Every retry is logged so a stuck rebuild is visible in the
+        // soak's stderr, not silently absorbed.
+        case e: IllegalStateException
+            if waitedMs < 120000 &&
+              Option(e.getMessage).exists(m =>
+                m.contains("stopped") || m.contains("shutdown")) =>
+          System.err.println(
+            s"SOAK: context stop in flight, retrying getOrCreate (waited ${waitedMs}ms): ${e.getMessage}")
           Thread.sleep(2000); waitedMs += 2000
           SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }

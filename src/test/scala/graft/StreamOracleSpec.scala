@@ -42,6 +42,24 @@ class StreamOracleSpec extends SparkSpec {
     assert(rows("stream_dedup_keys") === batch)
   }
 
+  test("stream_dedup_sink: distributed file sink equals the memory-sink twin; replay writes nothing") {
+    val viaSink = rows("stream_dedup_sink")
+    assert(viaSink === rows("stream_dedup_keys"),
+      "file-sink drain must equal the memory-sink twin key set")
+    // exactly-once on restart: re-running the SAME topology over the same
+    // checkpoint + sink must commit no new batch and add no file — the
+    // file sink's transaction log plus the source's processed-files log
+    // make the replay a no-op
+    val d = graft.core.Staged.materialize(spark, s"$sf0001|streamdedupsink")(_ =>
+      fail("dedup sink staging should already exist from the twin run"))
+    def sinkFiles() = new java.io.File(d, "data").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => (f.getName, f.length)).sorted.toSeq
+    val before = sinkFiles()
+    graft.streaming.StreamOracle.dedupSinkRun(spark, sf0001, d)
+    assert(sinkFiles() === before, "replay over the same checkpoint must be a sink no-op")
+    assert(rows("stream_dedup_sink") === viaSink)
+  }
+
   test("staged stream inputs are multi-file: >= 2 micro-batches per query") {
     // maxFilesPerTrigger=1 makes file count a lower bound on executed
     // triggers; the repartition(4) staging must therefore leave >= 2
