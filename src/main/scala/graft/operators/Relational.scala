@@ -1108,9 +1108,14 @@ object Relational {
         |  FROM lineitem l JOIN per_order
         |    ON l.l_orderkey = ok AND l.l_shipdate = max_ship
         |  GROUP BY 1 HAVING count(DISTINCT l.l_suppkey) = 1)
+        |-- group by the KEY, not the name: the Spark plan counts waits per
+        |-- supplier and attaches the name afterwards; grouping by s_name
+        |-- here silently MERGED same-named suppliers on any corpus where
+        |-- names repeat (caught by the round-11 10x cross-engine verify —
+        |-- SoakGen copies share s_name, DuckDB reported ~10x numwait)
         |SELECT s_name, count(*) AS numwait
         |FROM sole JOIN supplier ON the_supp = s_suppkey
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
