@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 runs first (untimed) so
   * the timed pass measures steady-state executor throughput, not JVM JIT
   * and codegen compilation of each query's generated code.
+  *
+  * SPARK_GRAFT_MASTER=local-cluster[w,c,memMB] runs the identical surface
+  * across a real process boundary (see graft.core.ExecMaster) — separate
+  * executor JVMs, real task serialization, real Netty shuffle. Point
+  * SPARK_GRAFT_FLOORS at a cluster-specific floor file (or a missing path
+  * to disable the storm check) for such runs: the committed FLOORS.json
+  * records in-process local[32] minima and would flag every row.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -14,36 +21,43 @@ object Bench {
     // default to the full machine: the CPU-bound queries (dedup candidate
     // verification, large aggregations) scale near-linearly with cores
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Local-mode heartbeats ride the same JVM as the work: a GC pause
-      // past spark.network.timeout (120 s default) makes
-      // HeartbeatReceiver declare the in-process executor dead and STOP
-      // the context mid-run (first seen in the 100x soak's 855 M-row
-      // drain; BENCH_r10's 111 s multimodal row shows the same pause
-      // class reaches the bench path). Same setting as tools/Soak — on
-      // a real cluster this is the standard GC-heavy-workload conf.
-      .config("spark.network.timeout", "600s")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Bench measures the SCALE shape: approx-by-design queries run their
-    // sketch alone, not sketch + exact-twin ε-gate (the gate is Verify's
-    // harness — see graft.core.ApproxGate).
-    spark.conf.set("graft.approx.exactGate", "false")
-    // Ingest-time layout: the driver's single-row-group files cap every
-    // scan stage at ONE task; serve the bench from a split, value-identical
-    // cached copy instead (see graft.core.ScanLayout — at cluster scale
-    // the rewrite condition never fires). SPARK_GRAFT_AUTOLAYOUT=false
-    // opts out for layout A/B runs.
-    spark.conf.set(graft.core.ScanLayout.EnabledKey,
-      sys.env.getOrElse("SPARK_GRAFT_AUTOLAYOUT", "true"))
+
+    // One builder for the main run AND the isolated storm re-probe: the
+    // adjudication pass below must measure the same configuration it is
+    // adjudicating, so session construction lives in a function.
+    def buildSession(): SparkSession = {
+      val spark = graft.core.ExecMaster.configure(
+          SparkSession.builder().withExtensions(new graft.plans.GraftExtensions), cpus)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // Local-mode heartbeats ride the same JVM as the work: a GC pause
+        // past spark.network.timeout (120 s default) makes
+        // HeartbeatReceiver declare the in-process executor dead and STOP
+        // the context mid-run (first seen in the 100x soak's 855 M-row
+        // drain; BENCH_r10's 111 s multimodal row shows the same pause
+        // class reaches the bench path). Same setting as tools/Soak — on
+        // a real cluster this is the standard GC-heavy-workload conf.
+        .config("spark.network.timeout", "600s")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // Bench measures the SCALE shape: approx-by-design queries run their
+      // sketch alone, not sketch + exact-twin ε-gate (the gate is Verify's
+      // harness — see graft.core.ApproxGate).
+      spark.conf.set("graft.approx.exactGate", "false")
+      // Ingest-time layout: the driver's single-row-group files cap every
+      // scan stage at ONE task; serve the bench from a split, value-identical
+      // cached copy instead (see graft.core.ScanLayout — at cluster scale
+      // the rewrite condition never fires). SPARK_GRAFT_AUTOLAYOUT=false
+      // opts out for layout A/B runs.
+      spark.conf.set(graft.core.ScanLayout.EnabledKey,
+        sys.env.getOrElse("SPARK_GRAFT_AUTOLAYOUT", "true"))
+      spark
+    }
+    var spark = buildSession()
     val benchDir = graft.core.ScanLayout.ensure(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -60,10 +74,12 @@ object Bench {
     // cache (and JIT the parquet decode paths) so the alphabetically
     // first queries don't eat the corpus's cold-read cost twice — without
     // this the first timed pair recorded 3x its steady-state latency.
-    for (f <- Option(new java.io.File(benchDir).listFiles()).getOrElse(Array.empty)
-         if f.getName.endsWith(".parquet")) {
-      try spark.read.parquet(f.getPath).foreach(_ => ()) catch { case _: Throwable => () }
-    }
+    def warmPages(): Unit =
+      for (f <- Option(new java.io.File(benchDir).listFiles()).getOrElse(Array.empty)
+           if f.getName.endsWith(".parquet")) {
+        try spark.read.parquet(f.getPath).foreach(_ => ()) catch { case _: Throwable => () }
+      }
+    warmPages()
 
     // Two timed passes PER QUERY, back to back, min of the two: the
     // second pass runs while the query's generated code is still JIT-hot,
@@ -81,7 +97,15 @@ object Bench {
     // queryExecution.toRdd executes the exact plan of the query as
     // written — every output column computed, final sort included — and
     // the foreach drains it distributed, nothing returns to the driver.
+    // Per-trigger breakdown for the stream-replay rows: their run-to-run
+    // spread is AvailableNow trigger-scheduling variance, not plan cost,
+    // and it dominated BENCH_r11's run-to-run delta. The artifact carries
+    // each stream query's per-micro-batch execution times (ms, from the
+    // engine's own progress events) so a swollen total is attributable to
+    // the specific trigger that stalled.
+    val triggerLog = scala.collection.mutable.Map.empty[String, Seq[Long]]
     def timeOnce(name: String): (Double, Boolean) = {
+      graft.streaming.Streams.lastTriggerMs.set(Seq.empty)
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -92,6 +116,8 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
+      val trig = graft.streaming.Streams.lastTriggerMs.getAndSet(Seq.empty)
+      if (ok && trig.nonEmpty) triggerLog(name) = trig
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // This host is a VM with intermittent hypervisor CPU steal; when the
@@ -104,28 +130,51 @@ object Bench {
     // was 3-30x the same code's adjacent-run latency (111.2 s for a row
     // that floors at 0.35 s). The committed per-query minima across all
     // recorded session runs (bench_local/FLOORS.json, regenerated each
-    // round) are the one reference a single run can be judged against:
-    // any row whose min still exceeds max(4x floor, floor + 1 s) after
-    // the paired passes buys up to two more samples, and a row that
-    // NEVER gets under its threshold is reported under
-    // "storm_suspected" with every raw sample — so a tail run can no
-    // longer masquerade as the engine's steady state without the
-    // artifact itself saying so. Queries with no recorded floor yet
+    // round by tools/regen_floors.py) are the one reference a single run
+    // can be judged against: any row whose min still exceeds
+    // max(4x floor, floor + 1 s) after the paired passes buys up to two
+    // more samples, and a row that NEVER gets under its threshold is
+    // reported under "storm_suspected" with every raw sample — so a tail
+    // run can no longer masquerade as the engine's steady state without
+    // the artifact itself saying so. Queries with no recorded floor yet
     // (first round they exist) skip the check and seed the next
     // regeneration.
-    val floors: Map[String, Double] = {
-      val p = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_local/FLOORS.json")
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case e: Throwable =>
-        System.err.println(s"BENCH: no floors at $p (${e.getMessage}) - storm check off")
+    //
+    // Parse PER ENTRY: one malformed numeric token must drop that entry,
+    // not silently disable the whole storm check (the regex's number
+    // class admits lone '-'/'E' tokens). A floors file that exists but
+    // yields ZERO entries is itself a loud condition — that is exactly
+    // the hand-edit failure mode the check defends against.
+    val floorsPath = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_local/FLOORS.json")
+    val floors: Map[String, Double] =
+      if (!new java.io.File(floorsPath).isFile) {
+        System.err.println(s"BENCH: no floors file at $floorsPath - storm check off")
         Map.empty
+      } else {
+        val parsed = try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(floorsPath)), "UTF-8")
+          """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt).flatMap { m =>
+            scala.util.Try(m.group(2).toDouble).toOption.map(m.group(1) -> _)
+          }.toMap
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH: unreadable floors at $floorsPath (${e.getMessage})")
+          Map.empty[String, Double]
+        }
+        if (parsed.isEmpty)
+          System.err.println(
+            s"BENCH: floors file $floorsPath exists but yielded ZERO parseable entries - " +
+              "storm check OFF; regenerate it with tools/regen_floors.py")
+        parsed
       }
-    }
+    def threshold(name: String): Option[Double] =
+      floors.get(name).map(f => math.max(4 * f, f + 1.0))
+    // floorHit distinguishes the two re-run causes in the artifact:
+    // "resamples" carries only floor-triggered rows, "unstable" the
+    // pass-disagreement rows (previously both rode one field and a floor
+    // breach could be inferred where none occurred).
     case class Res(name: String, sec: Double, ok: Boolean,
-                   samples: Seq[Double], storm: Boolean)
+                   samples: Seq[Double], storm: Boolean, floorHit: Boolean)
     val results = names.map { n =>
       val (t1, ok1) = timeOnce(n)
       val (t2, ok2) = timeOnce(n)
@@ -133,15 +182,43 @@ object Bench {
       val (t3, ok3) = if (unstable) timeOnce(n) else (Double.MaxValue, true)
       var samples = if (unstable) Seq(t1, t2, t3) else Seq(t1, t2)
       var ok = ok1 && ok2 && ok3
-      val threshold = floors.get(n).map(f => math.max(4 * f, f + 1.0))
+      val th = threshold(n)
       var extra = 0
-      while (ok && extra < 2 && threshold.exists(samples.min > _)) {
+      val floorHit = ok && th.exists(samples.min > _)
+      while (ok && extra < 2 && th.exists(samples.min > _)) {
         val (t, okx) = timeOnce(n)
         samples :+= t; ok &&= okx; extra += 1
       }
-      Res(n, samples.min, ok, samples, ok && threshold.exists(samples.min > _))
+      Res(n, samples.min, ok, samples, ok && th.exists(samples.min > _), floorHit)
     }
     val errors = results.collect { case r if !r.ok => r.name }
+
+    // SELF-ADJUDICATION (round-12, after BENCH_r11 shipped with one
+    // storm-flagged row the artifact could flag but not judge): a row the
+    // floor check still suspects after its extra samples gets an ISOLATED
+    // re-probe — fresh session (new JVM-internal context, re-warmed page
+    // cache), min of 4 back-to-back passes with nothing else running.
+    // If the isolated min clears the threshold the in-run samples were a
+    // transient host storm (verdict "refuted", the isolated min is the
+    // row's steady state); if it still breaches, either the host storm
+    // outlived the bench or the floor itself is stale (verdict
+    // "confirmed" — regenerate floors or investigate). Either way the
+    // JSON now carries its own adjudication next to the raw samples.
+    case class Iso(name: String, samples: Seq[Double], refuted: Boolean)
+    val isolated: Seq[Iso] = {
+      val suspects = results.filter(_.storm).map(_.name)
+      if (suspects.isEmpty) Seq.empty
+      else {
+        suspects.map { n =>
+          spark.stop()
+          spark = buildSession()
+          warmPages()
+          val samples = (1 to 4).map(_ => timeOnce(n)._1)
+          Iso(n, samples, threshold(n).exists(samples.min <= _))
+        }
+      }
+    }
+
     // 3-decimal times keep the whole line well under the driver's output
     // tail window; sub-millisecond precision is noise anyway. Locale.ROOT:
     // the f-interpolator uses the JVM default locale, and a comma-decimal
@@ -153,15 +230,25 @@ object Bench {
     val total = results.collect { case r if r.ok => r.sec }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // storm evidence rides the artifact itself: suspected rows (min never
-    // under threshold) plus the raw samples of every row that needed a
-    // floor-triggered re-run, so a judge can see the spread, not just the min
+    // under threshold) with their isolated adjudication, plus the raw
+    // samples of every floor-triggered re-run ("resamples") and every
+    // pass-disagreement re-run ("unstable") — spread, not just the min
     val suspects = results.filter(_.storm).map(_.name)
     val stormJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sampleJson = results.filter(r => r.samples.size > 2)
+    def sampleMap(rs: Seq[Res]): String = rs
       .map(r => "\"" + r.name + "\":[" + r.samples.map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
+    val resampleJson = sampleMap(results.filter(_.floorHit))
+    val unstableJson = sampleMap(results.filter(r => !r.floorHit && r.samples.size > 2))
+    val isoJson = isolated.map { i =>
+      "\"" + i.name + "\":{\"samples\":[" + i.samples.map(fmt).mkString(",") +
+        "],\"verdict\":\"" + (if (i.refuted) "storm_refuted" else "storm_confirmed") + "\"}"
+    }.mkString("{", ",", "}")
+    val trigJson = triggerLog.toSeq.sortBy(_._1)
+      .map { case (n, ts) => "\"" + n + "\":[" + ts.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"storm_suspected":$stormJson,"resamples":$sampleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"storm_suspected":$stormJson,"isolated":$isoJson,"resamples":$resampleJson,"unstable":$unstableJson,"stream_trigger_ms":$trigJson,"floors_loaded":${floors.size},"master":"${graft.core.ExecMaster.master(cpus)}","sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a ~3 KB stdout TAIL: the full line above is
     // ~5 KB at 182 queries, so the tail starts mid-line and structured
@@ -179,8 +266,9 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + fmt(r.sec)).mkString("{", ",", "}")
     // "note" makes the artifact self-describing: this compact line is a
     // SUMMARY sized for the driver's stdout tail; the authoritative
-    // per-query map (plus raw storm samples) is the persisted "full" file.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_err":${errors.size},"errors":$errJson,"storm_suspected":$stormJson,"slowest":$slow,"full":"$outPath","note":"summary line; authoritative per-query map in the persisted full file","sf":"$sfDir"}""")
+    // per-query map (plus raw storm samples + isolated adjudication) is
+    // the persisted "full" file.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"n_err":${errors.size},"errors":$errJson,"storm_suspected":$stormJson,"isolated":$isoJson,"slowest":$slow,"full":"$outPath","note":"summary line; authoritative per-query map in the persisted full file","sf":"$sfDir"}""")
     try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -7,9 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[...] dumps the same surface across
+    // a real process boundary (graft.core.ExecMaster) for cross-engine
+    // verification of serialized execution.
+    val spark = graft.core.ExecMaster.configure(
+        SparkSession.builder().withExtensions(new graft.plans.GraftExtensions), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,7 +34,10 @@ object Tables {
   private val relationCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]
 
-  private def sourceFp(path: String): String = {
+  // private[graft]: also the revalidation stamp for other per-(session,
+  // corpus) memoized decisions (Dedup's duplication-profile gate) — one
+  // staleness scheme, not two.
+  private[graft] def sourceFp(path: String): String = {
     val f = new java.io.File(path)
     if (!f.exists) "absent"
     else if (f.isFile) s"f:${f.length}:${f.lastModified}"

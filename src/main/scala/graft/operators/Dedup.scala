@@ -549,20 +549,31 @@ object Dedup {
     * `graft.dedup.repcollapse=force` pins the rep path and `=off` the
     * doc-level path regardless of corpus (RepCollapseGateSpec's A/B
     * knobs; `off` doubles as the operational escape hatch). */
-  private val docLevelMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // The memo lives in the SESSION RUNTIME CONF (not a process-global
+  // map): it dies with the session instead of accreting for the JVM
+  // lifetime, and the stored value carries the corpus fingerprint
+  // (Tables.sourceFp — same stat-level stamp the catalog cache
+  // revalidates with) so a documents.parquet rewritten mid-session
+  // recomputes the gate instead of silently replaying a stale decision.
   private[graft] def docLevelPath(s: SparkSession, dir: String): Boolean =
     s.conf.get("graft.dedup.repcollapse", "auto") match {
       case "force" => false // pin rep path (spec A/B)
       case "off"   => true  // pin doc-level path (spec A/B + escape hatch)
       case _ =>
-        docLevelMemo.getOrElseUpdate(graft.core.Staged.sessionId(s) + "|" + dir, {
+        val key = "graft.dedup.doclevel.memo." + dir
+        val fp = Tables.sourceFp(s"$dir/documents.parquet")
+        s.conf.getOption(key).collect {
+          case v if v.startsWith(fp + "=") => v.stripPrefix(fp + "=").toBoolean
+        }.getOrElse {
           val r = Tables.documents(s, dir)
             .filter(col("text").isNotNull)
             .groupBy(md5(col("text"))).agg(count(lit(1)).as("k"))
             .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L)).as("dup_pairs"),
               coalesce(sum(col("k")), lit(0L)).as("n_docs")).head()
-          r.getLong(0) <= math.max(64L, r.getLong(1) / 100)
-        })
+          val docLevel = r.getLong(0) <= math.max(64L, r.getLong(1) / 100)
+          s.conf.set(key, s"$fp=$docLevel")
+          docLevel
+        }
     }
   /** Staging-key suffix for artifacts whose CONTENT depends on the gate
     * (rep-level vs doc-level pair tables): a force/auto A/B within one
@@ -637,7 +648,18 @@ object Dedup {
     * PAIR detection and choosing one canonical doc per duplicate group.
     */
   def connectedComponents(edges: DataFrame,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
+    connectedComponentsCapped(edges, ckpt, Int.MaxValue)._1
+
+  /** Min-label propagation bounded at `maxRounds`: returns the (possibly
+    * partial) labels plus whether the loop actually converged. A partial
+    * label is still a CONNECTIVITY WITNESS — node u's label is the min id
+    * within distance `rounds` of u, a node u is connected to through the
+    * propagation path — which is what lets [[connectedComponentsAuto]]
+    * contract by partial labels and hand the remainder to the star
+    * rounds without changing the final partition. */
+  private[graft] def connectedComponentsCapped(edges: DataFrame,
+      ckpt: CheckpointStrategy, maxRounds: Int): (DataFrame, Boolean) = {
     val sym = ckpt.cut(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -646,7 +668,8 @@ object Dedup {
         .withColumn("label", col("doc")))
     var labels = cut
     var changed = 1L
-    while (changed > 0) {
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("doc").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc"))
@@ -662,9 +685,55 @@ object Dedup {
       ckpt.release(cut) // round k-1's blocks are dead once round k is cut
       cut = next
       labels = next.select(col("doc"), col("label"))
+      rounds += 1
     }
     ckpt.release(sym) // the final labels frame is checkpointed on its own
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("doc").as("doc_id"), col("label").as("cluster_id")),
+      changed == 0)
+  }
+
+  /** ADAPTIVE connected components — min-label rounds up to a small cap,
+    * then (only if not yet converged) large-star/small-star on the
+    * label-CONTRACTED graph. Self-gating by construction instead of a
+    * predictive shape statistic: a shallow graph (the dedup norm —
+    * near-dup clusters are transitively tight) converges inside the cap
+    * and pays exactly the min-label cost (1 shuffle + 1 count per round;
+    * the star loop's ~4 jobs/round scheduling latency never starts),
+    * while a deep graph (web link chains, reference paths) pays `cap`
+    * cheap rounds and hands star a graph whose distance-≤cap
+    * neighborhoods are already merged — asymptotically the same
+    * O(log² n) rounds as pure star.
+    *
+    * Correctness of the contraction: nodes sharing a partial min-label
+    * are connected (both reach the label node through the propagation
+    * path), so collapsing label classes to single nodes preserves the
+    * component partition; and because every partial label is the MIN id
+    * of its class, the star fixpoint's min over class labels is the
+    * component's global min doc id — identical output to either pure
+    * variant (CcStarSpec pins all three on random graphs and on a
+    * 512-node path). */
+  def connectedComponentsAuto(edges: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local,
+      minLabelCap: Int = 4): DataFrame = {
+    val (labels, converged) = connectedComponentsCapped(edges, ckpt, minLabelCap)
+    if (converged) labels
+    else {
+      val partial = ckpt.cut(labels)
+      val contracted = edges
+        .join(partial.select(col("doc_id").as("doc_a"), col("cluster_id").as("la")), "doc_a")
+        .join(partial.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")), "doc_b")
+        .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val superLabels = connectedComponentsStar(contracted, ckpt)
+        .select(col("cluster_id").as("super_id"), col("doc_id").as("partial_label"))
+      // partial stays checkpointed: the returned (lazy) plan reads it, so
+      // its blocks must outlive this call — same lifetime rule as the
+      // final labels frame of the plain loop
+      partial
+        .join(superLabels, partial("cluster_id") === superLabels("partial_label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
+    }
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
@@ -1709,16 +1778,20 @@ object Dedup {
     // doc_id — exactly what a re-crawl collapses N× on) and each doc
     // inherits its representative's label via one equi-join on the
     // fingerprint. Labels are unchanged: a cluster's min doc_id is the
-    // min over its fingerprint groups' own minima. The star-CC rounds
-    // then shuffle edges between distinct fingerprints, not dup² clique
-    // edges. Same recursive-reachability oracle as dedup_clusters.
+    // min over its fingerprint groups' own minima. The CC rounds then
+    // shuffle edges between distinct fingerprints, not dup² clique
+    // edges; the ADAPTIVE variant (min-label capped, star fallback)
+    // finishes shallow simhash graphs in their 2-3 natural rounds
+    // instead of paying 16+ star rounds' scheduling latency, while deep
+    // graphs still get the O(log² n) star path after contraction.
+    // Same recursive-reachability oracle as dedup_clusters.
     "dedup_simhash_clusters" -> ((s, dir) => {
       val fp = stagedSimhash(s, dir)
       val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
       val fpRep = fp.join(reps, "simhash")
       val repEdges = simhashPairsOf(reps.select(col("rep").as("doc_id"), col("simhash")))
         .select("doc_a", "doc_b")
-      val repClusters = connectedComponentsStar(repEdges)
+      val repClusters = connectedComponentsAuto(repEdges)
         .select(col("doc_id").as("rep"), col("cluster_id"))
       // docs whose representative joined a cross-fingerprint cluster
       // take that label; docs in a multi-doc hamming-0 clique with no

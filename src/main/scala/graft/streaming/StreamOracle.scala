@@ -151,6 +151,7 @@ object StreamOracle {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Streams.recordTriggers(q)
   }
 
   def oracles: Map[String, String] = Map(

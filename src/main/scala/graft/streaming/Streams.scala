@@ -23,6 +23,21 @@ import graft.operators.Parity
   */
 object Streams {
 
+  /** Per-trigger execution times (ms, ordered by batchId) of the most
+    * recent completed streaming run in this JVM. Bench drains this right
+    * after timing a stream-replay query and embeds it in the artifact:
+    * the AvailableNow replays' run-to-run spread is micro-batch TRIGGER
+    * SCHEDULING variance, not plan cost, and without the per-trigger
+    * breakdown a +8 s swing on stream_tumbling reads like a regression
+    * (BENCH_r11 run B). */
+  private[graft] val lastTriggerMs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Seq.empty)
+
+  private[graft] def recordTriggers(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastTriggerMs.set(q.recentProgress.toSeq.sortBy(_.batchId).map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L)))
+
   /** Streaming word count over a directory of text files (reference
     * word_count topology, O1–O5). Complete mode: the running totals.
     * maxFilesPerTrigger is the micro-batch size knob — the analogue of
@@ -157,6 +172,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
     val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     q.awaitTermination()
+    recordTriggers(q)
     spark.table(name)
   }
 }

@@ -14,9 +14,8 @@ object FloorProbe {
     val name = args(1)
     val passes = if (args.length > 2) args(2).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
+    val spark = graft.core.ExecMaster.configure(
+        SparkSession.builder().withExtensions(new graft.plans.GraftExtensions), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

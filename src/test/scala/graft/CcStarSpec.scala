@@ -77,6 +77,59 @@ class CcStarSpec extends SparkSpec {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponentsStar(none).isEmpty)
+    assert(Dedup.connectedComponentsAuto(none).isEmpty)
+  }
+
+  test("adaptive CC equals min-label CC on BOTH its internal paths") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain (diameter 3: converges in cap)
+      (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L),
+      (20L, 10L), (20L, 30L), (30L, 40L)
+    ).toDF("doc_a", "doc_b")
+    val expected = labelsOf(Dedup.connectedComponents(edges))
+    // shallow graph: min-label converges inside the cap → pure min-label path
+    assert(labelsOf(Dedup.connectedComponentsAuto(edges)) === expected)
+    // cap 1 forces the star-fallback-on-contracted-graph path on the SAME
+    // graph — both internal paths must produce the identical partition
+    assert(labelsOf(Dedup.connectedComponentsAuto(
+      edges, CheckpointStrategy.Local, minLabelCap = 1)) === expected)
+  }
+
+  test("adaptive CC labels a deep path like pure star, via contraction") {
+    import spark.implicits._
+    // 512-node path: min-label alone would need 511 rounds; the adaptive
+    // variant must stop at its cap, contract, and let star finish — same
+    // labels, component rooted at 0
+    val path = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = labelsOf(Dedup.connectedComponentsAuto(path))
+    assert(out.size === 512)
+    assert(out.values.forall(_ === 0L), "single component rooted at 0")
+  }
+
+  test("adaptive CC equals min-label CC on randomized graphs (cap 1 and 4)") {
+    import spark.implicits._
+    var seed = 0xDEADBEEFL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 0 until 4) {
+      val n = 10 + next(30)
+      val m = 1 + next(3 * n)
+      val edges = (0 until m)
+        .map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("doc_a", "doc_b")
+        val a = labelsOf(Dedup.connectedComponents(df))
+        assert(labelsOf(Dedup.connectedComponentsAuto(df)) === a,
+          s"trial $trial (n=$n, m=$m) diverged at default cap")
+        assert(labelsOf(Dedup.connectedComponentsAuto(
+          df, CheckpointStrategy.Local, minLabelCap = 1)) === a,
+          s"trial $trial (n=$n, m=$m) diverged at cap 1")
+      }
+    }
   }
 
   test("Reliable checkpointing drives an iterative loop end-to-end") {

@@ -21,11 +21,15 @@ def main(outdir, sfdir, skip, done, only=None, threads=None, mem=None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_pattern(sfdir, t)}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_resumed = 0
     for name, sql in sorted(oracles.items()):
         if only is not None and name not in only:
             continue
         if name in done:
+            # carried over from --done, NOT verified by this invocation —
+            # tallied separately so a fully-resumed shard can't print
+            # "0 ok, 0 bad" and read as a passing verify
+            n_resumed += 1
             continue
         if name in skip:
             print(f"SKIP     {name}", flush=True); continue
@@ -49,7 +53,8 @@ def main(outdir, sfdir, skip, done, only=None, threads=None, mem=None):
             print(f"OK       {name} ({got.shape[0]} rows) [{time.time()-t0:.1f}s]", flush=True); n_ok += 1
         except AssertionError as e:
             print(f"MISMATCH {name}: {str(e).splitlines()[-1][:200]}", flush=True); n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} bad", flush=True)
+    print(f"\n{n_ok} ok (+{n_resumed} resumed from --done, not re-checked), {n_bad} bad",
+          flush=True)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
