@@ -62,13 +62,23 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    // Small-scale warmup primes parquet footers + the session; the first
-    // timed pass below does the heavy JIT warmup (its cost is masked by
-    // the min over passes), keeping total executions low enough not to
-    // pressure the JIT code cache.
+    // Small-scale warmup: run EVERY query once at sf0.001, untimed.
+    // Through round 11 only the flagship query warmed up and the first
+    // TIMED pass of each query carried its JIT/codegen compilation —
+    // usually hidden by min-of-2, but a heavy query whose generated
+    // kernels need 2+ executions to go JIT-hot could record BOTH timed
+    // passes cold (r12 baseline: dedup_ngram_jaccard_prefix benched
+    // 6.26 s while its isolated steady state is 3.1 s — passes 1-2 of a
+    // fresh session measure 6-7 s, pass 3+ measures 3.1). A full warmup
+    // sweep at the smallest SF compiles every query's kernels for
+    // ~0.1-0.3 s each and makes the timed passes measure steady-state
+    // throughput, which is what this bench claims to report. Failures
+    // are ignored — a query that only works at the bench SF still gets
+    // its session-level warmup from the timed pair itself.
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
-      try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
-      catch { case _: Throwable => () }
+      for (n <- names)
+        try SparkEntry.queries(n)(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => () }
     }
     // Fault every table's data pages at the BENCH scale into the OS page
     // cache (and JIT the parquet decode paths) so the alphabetically

@@ -21,6 +21,19 @@ import org.apache.spark.sql.DataFrame
 sealed trait CheckpointStrategy {
   def cut(df: DataFrame): DataFrame
 
+  /** Lineage cut whose materialization is DEFERRED to the caller's next
+    * action on the returned frame. An eager [[cut]] runs one job to
+    * persist the round's state and the loop's convergence check runs a
+    * second over the persisted blocks; when the caller's very next step
+    * IS an action on the cut frame (the per-round `count` of every CC
+    * loop), the lazy form folds both into one job — one fewer
+    * job-scheduling round trip per iteration, which on a
+    * many-tiny-round loop is the dominant cost. Callers that do NOT
+    * immediately act on the frame must keep using [[cut]]: an
+    * unmaterialized lazy cut does not break lineage until something
+    * computes it. [[release]] works unchanged on both forms. */
+  def cutLazy(df: DataFrame): DataFrame = cut(df)
+
   /** Free a frame produced by [[cut]] once the loop will never read it
     * again. A localCheckpoint's blocks otherwise live for the WHOLE
     * session: across a many-query session (bench, soak, a long-lived
@@ -37,6 +50,7 @@ object CheckpointStrategy {
 
   case object Local extends CheckpointStrategy {
     override def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    override def cutLazy(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
     // Dataset.unpersist only uncaches CacheManager-registered plans;
     // localCheckpoint persists the underlying RDD directly, so freeing
     // the blocks means unpersisting THAT RDD. A cut frame's analyzed
@@ -61,6 +75,11 @@ object CheckpointStrategy {
       // sharing a dir don't churn the session-global setting
       if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
       df.checkpoint()
+    }
+    override def cutLazy(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint(eager = false)
     }
     // reliable checkpoints live as files in `dir`, not executor memory;
     // retention is the caller's (or the dir's lifecycle's) concern

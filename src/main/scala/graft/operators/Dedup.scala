@@ -659,28 +659,73 @@ object Dedup {
     * contract by partial labels and hand the remainder to the star
     * rounds without changing the final partition. */
   private[graft] def connectedComponentsCapped(edges: DataFrame,
-      ckpt: CheckpointStrategy, maxRounds: Int): (DataFrame, Boolean) = {
-    val sym = ckpt.cut(
+      ckpt: CheckpointStrategy, maxRounds: Int,
+      jump: Boolean = false): (DataFrame, Boolean) = {
+    // LAZY cuts throughout the loop: every cut frame's very next step is
+    // an action that materializes it (the per-round changed-count; sym
+    // and the seed labels ride round 1's job), so the eager form's
+    // dedicated persist job per round was pure scheduling overhead —
+    // measured ~half the rounds' wall on the sf0.1 CC-bound queries,
+    // whose stages are 1-2 tiny tasks each.
+    //
+    // jump=true adds POINTER JUMPING (label(label(u)) as a third min
+    // term — the classic hash-to-min acceleration): label coverage
+    // roughly doubles per round, so convergence needs O(log d) rounds
+    // instead of O(d). One extra self-join per round buys it, so the
+    // plain form stays the default for graphs known to be shallow
+    // (near-dup cliques converge in 2-3 rounds either way; the r12
+    // simhash rep graph at sf0.1 has d≈13 and went 13 → 5 rounds).
+    // Invariants the adaptive contraction relies on are preserved: a
+    // node's label is always the id of a CONNECTED node (neighbor's
+    // label and label's label are both in the component), labels only
+    // decrease, and the component minimum keeps labeling itself.
+    val sym = ckpt.cutLazy(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var cut = ckpt.cut(
       sym.select(col("src").as("doc")).distinct()
         .withColumn("label", col("doc")))
+    // SIZE-GATED BROADCAST ROUNDS (guide §3.1, pick the join strategy
+    // deliberately): the label table is exactly one row per node and the
+    // round joins key on it twice; below the gate, broadcasting it (and
+    // the per-round neighbor-min, ≤ nodes rows) leaves only the
+    // neighbor-min groupBy as a per-round exchange — the checkpointed
+    // frames are LogicalRDD leaves whose stats Catalyst/AQE cannot see,
+    // so without the explicit hint every round pays full shuffle joins
+    // regardless of actual size. The node count rides the seed cut's
+    // (now eager) materialization job. Above the gate nothing changes:
+    // labels at real scale are not broadcastable.
+    val nNodes = cut.count()
+    val bcastGate = nNodes <= broadcastNodes(edges)
+    def maybeB(df: DataFrame): DataFrame = if (bcastGate) broadcast(df) else df
     var labels = cut
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
-        .join(labels.select(col("doc").as("dst"), col("label").as("dst_label")), "dst")
+        .join(maybeB(labels.select(col("doc").as("dst"), col("label").as("dst_label"))), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("dst_label")).as("nbr_min"))
+      val stepped =
+        if (!jump) labels.join(maybeB(nbrMin), Seq("doc"), "left")
+          .select(col("doc"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        else labels
+          .join(maybeB(nbrMin), Seq("doc"), "left")
+          // label(label(u)): every label value is a node id present in
+          // `labels` (it starts as self and only ever takes other nodes'
+          // labels), so the jump join is inner-complete; left-join keeps
+          // the plan robust to a release/rebuild race anyway
+          .join(maybeB(labels.select(col("doc").as("jdoc"), col("label").as("jump_label"))),
+            col("label") === col("jdoc"), "left")
+          .select(col("doc"), col("label").as("old_label"),
+            least(
+              least(col("label"), coalesce(col("nbr_min"), col("label"))),
+              coalesce(col("jump_label"), col("label"))).as("label"))
       // carry old + new label in ONE cut frame: the change count reads
       // the checkpointed result directly instead of a second join back
       // against the previous labels (one exchange per round saved)
-      val next = ckpt.cut(labels
-        .join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      val next = ckpt.cutLazy(stepped)
       changed = next.filter(col("label") =!= col("old_label")).count()
       ckpt.release(cut) // round k-1's blocks are dead once round k is cut
       cut = next
@@ -688,9 +733,26 @@ object Dedup {
       rounds += 1
     }
     ckpt.release(sym) // the final labels frame is checkpointed on its own
+    ccLog(edges, s"minlabel jump=$jump bcast=$bcastGate rounds=$rounds converged=${changed == 0}")
     (labels.select(col("doc").as("doc_id"), col("label").as("cluster_id")),
       changed == 0)
   }
+
+  /** Stderr round-count trace for CC A/B probes (`graft.cc.log=true`):
+    * the round count is the cost driver of every CC variant and is
+    * invisible in stage listings once AQE folds the tiny stages. */
+  private def ccLog(df: DataFrame, msg: String): Unit =
+    if (df.sparkSession.conf.get("graft.cc.log", "false") == "true")
+      System.err.println(s"CC: $msg")
+
+  /** Broadcast gate for CC round joins: one row per node ≈ 24 bytes of
+    * broadcast relation, so the 1M default stays ~25 MB — comfortably
+    * inside guide §3.1's "a few hundred MB is fine" band with margin for
+    * the per-executor copies. Conf-able for cluster-specific tuning
+    * (`graft.cc.broadcastNodes`); at 100 TB corpus scale the node count
+    * exceeds any sane setting and the loops keep their shuffle joins. */
+  private def broadcastNodes(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.cc.broadcastNodes", "1000000").toLong
 
   /** ADAPTIVE connected components — min-label rounds up to a small cap,
     * then (only if not yet converged) large-star/small-star on the
@@ -714,25 +776,53 @@ object Dedup {
     * 512-node path). */
   def connectedComponentsAuto(edges: DataFrame,
       ckpt: CheckpointStrategy = CheckpointStrategy.Local,
-      minLabelCap: Int = 4): DataFrame = {
-    val (labels, converged) = connectedComponentsCapped(edges, ckpt, minLabelCap)
+      minLabelCap: Int = 0): DataFrame = {
+    // cap 0 = read the session conf (A/B-able without recompiling);
+    // the default of 6 was measured at sf0.1: the simhash rep graph
+    // converges inside it (see OPTIMIZATION_r12.md), and a deep graph
+    // pays 6 one-action rounds before the star fallback
+    val cap =
+      if (minLabelCap > 0) minLabelCap
+      else edges.sparkSession.conf.get("graft.cc.minlabelcap", "6").toInt
+    // jump=true: the capped phase covers distance ~2^cap instead of
+    // ~cap, so real corpora converge inside the cap and the star
+    // fallback is reserved for genuinely path-like graphs
+    val (labels, converged) = connectedComponentsCapped(edges, ckpt, cap, jump = true)
     if (converged) labels
     else {
       val partial = ckpt.cut(labels)
-      val contracted = edges
+      val contracted = ckpt.cutLazy(edges
         .join(partial.select(col("doc_id").as("doc_a"), col("cluster_id").as("la")), "doc_a")
         .join(partial.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")), "doc_b")
         .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-      val superLabels = connectedComponentsStar(contracted, ckpt)
-        .select(col("cluster_id").as("super_id"), col("doc_id").as("partial_label"))
-      // partial stays checkpointed: the returned (lazy) plan reads it, so
-      // its blocks must outlive this call — same lifetime rule as the
-      // final labels frame of the plain loop
-      partial
-        .join(superLabels, partial("cluster_id") === superLabels("partial_label"), "left")
-        .select(col("doc_id"),
-          coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
+        .filter(col("doc_a") =!= col("doc_b")))
+      // The cap very often lands EXACTLY at the partition fixpoint with
+      // only the convergence-confirming round outstanding: every edge is
+      // then label-internal, the contracted graph is EMPTY, and each
+      // label class is an edge-closed connected set = one whole
+      // component labeled by its min (the min always labels itself).
+      // Short-circuiting here skips star's init/fixpoint/final-labels
+      // stages AND the label re-attach join — the isEmpty probe
+      // materializes the cut contraction that star would have paid for
+      // anyway.
+      if (contracted.isEmpty) {
+        ckpt.release(contracted)
+        partial
+      } else {
+        val superLabels = connectedComponentsStar(contracted, ckpt)
+          .select(col("cluster_id").as("super_id"), col("doc_id").as("partial_label"))
+        // star has materialized its own cut of the contracted edges by
+        // the time it returns (its fixpoint loop is eager), so the
+        // contraction's blocks are dead here
+        ckpt.release(contracted)
+        // partial stays checkpointed: the returned (lazy) plan reads it, so
+        // its blocks must outlive this call — same lifetime rule as the
+        // final labels frame of the plain loop
+        partial
+          .join(superLabels, partial("cluster_id") === superLabels("partial_label"), "left")
+          .select(col("doc_id"),
+            coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
+      }
     }
   }
 
@@ -769,9 +859,18 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var e = ckpt.cut(canon(
+    // lazy cuts: the count on the next line materializes the checkpoint
+    // in the same job (see connectedComponentsCapped)
+    var e = ckpt.cutLazy(canon(
       edges.select(col("doc_a").as("a"), col("doc_b").as("b"))))
     var eCount = e.count()
+    // same size-gated broadcast as the min-label loop (guide §3.1): the
+    // per-round min tables (mn: one row per node; byHi: one row per
+    // star root) are broadcastable whenever the edge set is small, and
+    // the checkpointed frames' stats are invisible to AQE so the hint
+    // is the only way the rounds get a broadcast join
+    val bcastGate = eCount <= broadcastNodes(edges)
+    def maybeB(df: DataFrame): DataFrame = if (bcastGate) broadcast(df) else df
     var rounds = 0
     var done = eCount == 0
     while (!done) {
@@ -780,13 +879,13 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val mn = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = sym.join(mn, "u").filter(col("v") > col("u"))
+      val large = sym.join(maybeB(mn), "u").filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b")).distinct()
       // small-star over canonical (a < b): each node b re-hangs its
       // smaller neighbors (and itself) on their minimum
       val byHi = large.groupBy("b").agg(min("a").as("m"))
-      val next = ckpt.cut(
-        large.join(byHi, "b").filter(col("a") =!= col("m"))
+      val next = ckpt.cutLazy(
+        large.join(maybeB(byHi), "b").filter(col("a") =!= col("m"))
           .select(col("m").as("a"), col("a").as("b"))
           .union(byHi.select(col("m").as("a"), col("b")))
           .distinct())
@@ -801,6 +900,7 @@ object Dedup {
     val labels = e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
       .union(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    ccLog(edges, s"star rounds=$rounds")
     (labels, rounds)
   }
 

@@ -180,10 +180,15 @@ object Multimodal {
     // dedup_keep_canonical, composed from the shared CC primitives so
     // the two dedup families cannot diverge in cluster semantics. Uses
     // the large-star/small-star variant: the aHash near-dup graph
-    // CHAINS (gradually-edited variants link A−B−C−…, diameter 15+ at
-    // sf0.1), so min-label propagation's O(diameter) rounds lose to
-    // star's O(log² n) — 16 min-label rounds on this corpus, and the
-    // swap measured 5.6 → 3.0 s isolated steady at sf0.1.
+    // CHAINS (gradually-edited variants link A−B−C−…, deep at sf0.1),
+    // so min-label propagation's O(diameter) rounds lose to star's
+    // O(log² n) — 16 min-label rounds on this corpus, and the swap
+    // measured 5.6 → 3.0 s isolated steady. The r12 adaptive variant
+    // (capped jump rounds + star on the contracted graph) was A/B'd
+    // here and LOST (4.2-5.3 s vs star's 2.6-3.0): the chain graph is
+    // deep enough that 6-10 jump rounds still hand star 2-3 rounds of
+    // work, so the capped phase is pure overhead — see
+    // OPTIMIZATION_r12.md.
     //
     // FINGERPRINT COLLAPSE before CC (same rewrite as
     // dedup_simhash_clusters, same labels): byte-identical re-crawled

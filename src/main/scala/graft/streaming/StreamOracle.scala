@@ -60,22 +60,49 @@ object StreamOracle {
     name
   }
 
-  /** documents.text as a 4-file text dir (one line per doc — the corpus
-    * ships newline-free text, asserted in StreamOracleSpec): 4 files =
-    * 4 micro-batches under maxFilesPerTrigger=1. Data lives under
-    * `<stage>/data` so the stage-completion marker never enters the
-    * source glob. */
+  /** Micro-batch count for a replay: SCALE-ADAPTIVE instead of the
+    * former constant 4. One micro-batch per ~4 MB of source bytes
+    * (`graft.stream.batchBytes`), floor 2 (cross-trigger state carry
+    * must stay exercised — StreamOracleSpec's ≥2-file contract), cap 64
+    * (a replay is a bounded oracle run, not a production stream). A
+    * constant trigger count is wrong in BOTH directions: at sf0.1 it
+    * pays 4 × ~0.8 s of micro-batch machinery (state-store commits,
+    * offset/commit WAL, sink swap) to replay 2 MB, and at 100× it
+    * crams 200 MB into one trigger. Bytes-derived batches keep the
+    * per-trigger work roughly constant across scale factors — the same
+    * sizing rule a production stream applies via maxBytesPerTrigger.
+    * The OUTPUT is trigger-count-invariant (complete-mode totals /
+    * append-mode first-occurrence key sets), so the oracle hash is
+    * unchanged by construction. */
+  private def nBatches(s: SparkSession, srcPath: String): Int = {
+    val f = new java.io.File(srcPath)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length).sum
+      else f.length
+    val target = s.conf.get("graft.stream.batchBytes", (4L << 20).toString).toLong
+    math.max(2L, math.min(64L, (bytes + target - 1) / target)).toInt
+  }
+
+  /** documents.text as a multi-file text dir (one line per doc — the
+    * corpus ships newline-free text, asserted in StreamOracleSpec):
+    * n files = n micro-batches under maxFilesPerTrigger=1. Data lives
+    * under `<stage>/data` so the stage-completion marker never enters
+    * the source glob. */
   private def textDir(s: SparkSession, dir: String): String =
     Staged.materialize(s, s"$dir|streamtext")(d =>
-      Tables.documents(s, dir).select("text").repartition(4)
+      Tables.documents(s, dir).select("text")
+        .repartition(nBatches(s, s"$dir/documents.parquet"))
         .write.text(s"$d/data")) + "/data"
 
-  /** Normalized events as a 4-file parquet dir + the schema the file
+  /** Normalized events as a multi-file parquet dir + the schema the file
     * source needs (streaming reads never infer). */
   private def eventsDir(s: SparkSession, dir: String): (String, StructType) = {
     val ev = Tables.events(s, dir)
     val d = Staged.materialize(s, s"$dir|streamevents")(d =>
-      ev.repartition(4).write.parquet(s"$d/data"))
+      ev.repartition(nBatches(s, s"$dir/events.parquet"))
+        .write.parquet(s"$d/data"))
     (d + "/data", ev.schema)
   }
 
@@ -85,7 +112,7 @@ object StreamOracle {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // O1–O5 as a LIVE stream under the oracle: 4 micro-batches of
+    // O1–O5 as a LIVE stream under the oracle: micro-batches of
     // document lines, complete-mode running totals; the final table is
     // bit-equal to batch wordcount iff count state carried across all
     // triggers.

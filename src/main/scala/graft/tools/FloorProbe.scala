@@ -30,6 +30,12 @@ object FloorProbe {
       spark.conf.set(graft.core.ScanLayout.SplitBytesKey, v)
     for (v <- sys.env.get("SPARK_GRAFT_SPLITS"))
       spark.conf.set(graft.core.ScanLayout.SplitsKey, v)
+    // Arbitrary session-conf pass-through for A/B probes:
+    // SPARK_GRAFT_CONF="k1=v1,k2=v2" (no escaping — probe keys/values
+    // never contain ',' or '=')
+    for (kvs <- sys.env.get("SPARK_GRAFT_CONF"); kv <- kvs.split(',');
+         Array(k, v) <- Option(kv.split("=", 2)) if kv.nonEmpty)
+      spark.conf.set(k, v)
     val sfDir = graft.core.ScanLayout.ensure(spark, rawSfDir)
     // Per-stage wall + task counts: pins how much of a query's latency is
     // single-task stages (the one-row-group testdata files cannot split).

@@ -132,6 +132,39 @@ class CcStarSpec extends SparkSpec {
     }
   }
 
+  test("pointer jumping converges in O(log d) rounds and matches min-label") {
+    import spark.implicits._
+    // 128-node path: plain min-label propagation crosses one hop per
+    // round (127 rounds); the jump term (label(label(u))) roughly
+    // doubles coverage per round, so convergence must land well inside
+    // 2*log2(128)+slack. Labels must equal the plain loop's exactly.
+    val path = (0L until 127L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (jumped, converged) = Dedup.connectedComponentsCapped(
+      path, CheckpointStrategy.Local, maxRounds = 20, jump = true)
+    assert(converged, "jump variant should converge within 20 rounds on path-128")
+    val out = labelsOf(jumped)
+    assert(out.size === 128)
+    assert(out.values.forall(_ === 0L), "single component rooted at 0")
+  }
+
+  test("CC loops produce identical labels with the broadcast gate OFF") {
+    import spark.implicits._
+    // every other test runs tiny graphs where the size gate picks
+    // broadcast round joins; pin the shuffle path (the 100 TB shape) to
+    // the same partition by forcing the gate closed
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (20L, 10L), (30L, 10L)
+    ).toDF("doc_a", "doc_b")
+    val expected = labelsOf(Dedup.connectedComponents(edges))
+    spark.conf.set("graft.cc.broadcastNodes", "0")
+    try {
+      assert(labelsOf(Dedup.connectedComponents(edges)) === expected)
+      assert(labelsOf(Dedup.connectedComponentsStar(edges)) === expected)
+      assert(labelsOf(Dedup.connectedComponentsAuto(edges)) === expected)
+    } finally spark.conf.unset("graft.cc.broadcastNodes")
+  }
+
   test("Reliable checkpointing drives an iterative loop end-to-end") {
     // the 100 TB fault-tolerance path: every iterative loop defaults to
     // Local lineage cuts (non-replicated executor blocks — fine on

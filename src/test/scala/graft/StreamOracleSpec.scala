@@ -62,8 +62,9 @@ class StreamOracleSpec extends SparkSpec {
 
   test("staged stream inputs are multi-file: >= 2 micro-batches per query") {
     // maxFilesPerTrigger=1 makes file count a lower bound on executed
-    // triggers; the repartition(4) staging must therefore leave >= 2
-    // non-empty data files even at the smallest scale factor
+    // triggers; the bytes-derived staging (floor 2 — see
+    // StreamOracle.nBatches) must therefore leave >= 2 non-empty data
+    // files even at the smallest scale factor
     for (key <- Seq("streamtext", "streamevents")) {
       val d = graft.core.Staged.materialize(spark, s"$sf0001|$key")(_ =>
         fail(s"$key staging should already exist from the twin runs"))
