@@ -93,7 +93,11 @@ object Graph {
       ranks =
         if (!renormalize) ckpt.cut(raw)
         else {
-          val cutRaw = ckpt.cut(raw)
+          // lazy: the eager cut of `res` below computes the shift's
+          // broadcast, which reads cutRaw and materializes the
+          // checkpoint inside the same job — release ordering is
+          // unchanged (cutRaw is only freed after res is persisted)
+          val cutRaw = ckpt.cutLazy(raw)
           val sh = cutRaw.crossJoin(budget)
             .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
           val res = ckpt.cut(cutRaw.crossJoin(broadcast(sh))
@@ -152,7 +156,9 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("r").as("r_src")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("r_src")).as("r"))
-      val cutRaw = ckpt.cut(raw)
+      // lazy for the same reason as powerIterate's renormalize branch:
+      // the eager ranks cut below materializes it before its release
+      val cutRaw = ckpt.cutLazy(raw)
       val sh = cutRaw.crossJoin(budget)
         .agg(greatest(lit(0), max(length(bin(col("r")))) - max(col("bud"))).as("sh"))
       val shifted = cutRaw.crossJoin(broadcast(sh))

@@ -74,15 +74,49 @@ object StreamOracle {
     * The OUTPUT is trigger-count-invariant (complete-mode totals /
     * append-mode first-occurrence key sets), so the oracle hash is
     * unchanged by construction. */
-  private def nBatches(s: SparkSession, srcPath: String): Int = {
+  private def srcBytes(srcPath: String): Long = {
     val f = new java.io.File(srcPath)
-    val bytes =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(_.isFile).map(_.length).sum
-      else f.length
-    val target = s.conf.get("graft.stream.batchBytes", (4L << 20).toString).toLong
-    math.max(2L, math.min(64L, (bytes + target - 1) / target)).toInt
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.length).sum
+    else f.length
+  }
+
+  private def batchBytes(s: SparkSession): Long =
+    s.conf.get("graft.stream.batchBytes", (4L << 20).toString).toLong
+
+  private def nBatches(s: SparkSession, srcPath: String): Int = {
+    val target = batchBytes(s)
+    math.max(2L, math.min(64L, (srcBytes(srcPath) + target - 1) / target)).toInt
+  }
+
+  /** State-store partition count for a replay, and the conf scope that
+    * applies it. Structured Streaming fixes the stateful-operator
+    * partition count from `spark.sql.shuffle.partitions` at FIRST batch
+    * and AQE never revisits it (adaptive execution is inactive inside
+    * micro-batches), so a replay over KB-scale state otherwise runs —
+    * and commits, and fsyncs — one state store per session core on
+    * every trigger: 32 stores for 31 words of running state was most of
+    * the per-trigger second at sf0.1. Like [[nBatches]] the count
+    * derives from source bytes (state volume tracks input here: words /
+    * windows / distinct keys), clamped to [2, defaultParallelism] so
+    * larger corpora scale the store count back up to the session's full
+    * parallelism; `graft.stream.statePartitions` pins it for
+    * cluster-specific tuning. Restarts are unaffected: a checkpoint
+    * carries its own partition count and Spark restores it from the
+    * offset log. */
+  private def statePartitions(s: SparkSession, srcPath: String): Int =
+    s.conf.getOption("graft.stream.statePartitions").map(_.toInt).getOrElse {
+      val target = batchBytes(s)
+      val n = (srcBytes(srcPath) + target - 1) / target
+      math.max(2L, math.min(s.sparkContext.defaultParallelism.toLong, n)).toInt
+    }
+
+  private def withStateParts[T](s: SparkSession, srcPath: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions(s, srcPath).toString)
+    try body finally s.conf.set(key, prev)
   }
 
   /** documents.text as a multi-file text dir (one line per doc — the
@@ -117,20 +151,22 @@ object StreamOracle {
     // bit-equal to batch wordcount iff count state carried across all
     // triggers.
     "stream_wordcount" -> ((s, dir) =>
-      Streams.runToCompletion(s,
-        Streams.wordCountStream(s, textDir(s, dir), maxFilesPerTrigger = Some(1)),
-        freshSink(s, "so_wc"))
-        .orderBy("word")),
+      withStateParts(s, s"$dir/documents.parquet") {
+        Streams.runToCompletion(s,
+          Streams.wordCountStream(s, textDir(s, dir), maxFilesPerTrigger = Some(1)),
+          freshSink(s, "so_wc"))
+      }.orderBy("word")),
 
     // Watermarked tumbling windows (the event-time capability the
     // reference lacks, SURVEY §2.1) streamed batch-by-batch; complete
     // mode emits every window, so the drained sink equals the batch
     // twin's windowed aggregate exactly.
     "stream_tumbling" -> ((s, dir) =>
-      Streams.runToCompletion(s,
-        Streams.tumblingCounts(eventStream(s, dir)),
-        freshSink(s, "so_tw"))
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+      withStateParts(s, s"$dir/events.parquet") {
+        Streams.runToCompletion(s,
+          Streams.tumblingCounts(eventStream(s, dir)),
+          freshSink(s, "so_tw"))
+      }.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n"))
         .orderBy("window_start", "event_type")),
 
@@ -140,11 +176,12 @@ object StreamOracle {
     // key set equals DISTINCT over the whole table only if state
     // persists across triggers.
     "stream_dedup_keys" -> ((s, dir) =>
-      Streams.runToCompletion(s,
-        eventStream(s, dir).dropDuplicates("user_id", "event_type")
-          .select(col("user_id"), col("event_type")),
-        freshSink(s, "so_dd"), mode = "append")
-        .orderBy("user_id", "event_type")),
+      withStateParts(s, s"$dir/events.parquet") {
+        Streams.runToCompletion(s,
+          eventStream(s, dir).dropDuplicates("user_id", "event_type")
+            .select(col("user_id"), col("event_type")),
+          freshSink(s, "so_dd"), mode = "append")
+      }.orderBy("user_id", "event_type")),
 
     // The same cross-trigger dedup drained through a DISTRIBUTED sink:
     // executor-side parquet writes under the file sink's commit protocol
@@ -167,19 +204,20 @@ object StreamOracle {
   /** One AvailableNow run of the dedup topology into the parquet file
     * sink under `d` — factored out so the spec can REPLAY it over the
     * same checkpoint and prove the restart writes nothing new. */
-  private[graft] def dedupSinkRun(s: SparkSession, dir: String, d: String): Unit = {
-    val q = eventStream(s, dir)
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("path", s"$d/data")
-      .option("checkpointLocation", s"$d/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    Streams.recordTriggers(q)
-  }
+  private[graft] def dedupSinkRun(s: SparkSession, dir: String, d: String): Unit =
+    withStateParts(s, s"$dir/events.parquet") {
+      val q = eventStream(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$d/data")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Streams.recordTriggers(q)
+    }
 
   def oracles: Map[String, String] = Map(
     // identical to the batch wordcount oracle — the stream must land on
