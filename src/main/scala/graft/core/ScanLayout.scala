@@ -111,14 +111,45 @@ object ScanLayout {
   private def ensureTable(spark: SparkSession, tableSrc: Path, cacheDir: Path,
       name: String, target: Int): Unit = {
     val dst = cacheDir.resolve(s"$name.parquet")
-    if (Files.isDirectory(tableSrc)) { link(tableSrc, dst); return } // already multi-file
     val splitBytes = spark.conf.get(SplitBytesKey, DefaultSplitBytes.toString).toLong
-    val bytes = Files.size(tableSrc)
-    val wanted = math.min(target.toLong, (bytes + splitBytes - 1) / splitBytes).toInt
+    // A DIRECTORY source is NOT automatically parallel: SoakGen's
+    // replicated corpora come back from AQE-coalesced writes as a dir
+    // holding ONE part file, and until r12 the dir short-circuit linked
+    // them through unsplit — so every scaled probe started with
+    // single-task scan stages (text_inverted_index's 10× staging build
+    // spent 18 of its 18.8 s in three 1-task stages). A dir is linked
+    // through only when its PART-FILE COUNT already covers the wanted
+    // parallelism; otherwise its few files get footer-checked and
+    // rewritten exactly like a single under-parallel file.
+    val partFiles: Seq[Path] =
+      if (!Files.isDirectory(tableSrc)) Seq(tableSrc)
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(tableSrc).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+    if (partFiles.isEmpty) { link(tableSrc, dst); return }
+    val bytes = partFiles.map(Files.size).sum
+    // the 8-way default cap was tuned at sf0.1 (see DefaultSplits); a
+    // TABLE-SIZE escape keeps it from starving genuinely large scaled
+    // tables (a 100× lineitem is ~1 GB — 8 single-row-group splits use
+    // a quarter of the cores): above ~1 MB/split the cap grows with
+    // bytes up to the session's parallelism. An explicit SplitsKey conf
+    // remains a hard override (probe A/Bs pin exact split counts).
+    val effTarget = spark.conf.getOption(SplitsKey) match {
+      case Some(v) => math.max(2, v.toInt).toLong
+      case None => math.max(target.toLong,
+        math.min(spark.sparkContext.defaultParallelism.toLong, bytes >> 20))
+    }
+    val wanted = math.min(effTarget, (bytes + splitBytes - 1) / splitBytes).toInt
     if (wanted < MinSplits) { link(tableSrc, dst); return }
-    val (rowGroups, rows) = footerStats(spark, tableSrc)
+    if (partFiles.size >= wanted / 2) { link(tableSrc, dst); return }
+    val stats = partFiles.map(footerStats(spark, _))
+    val (rowGroups, rows) = (stats.map(_._1).sum, stats.map(_._2).sum)
     if (rowGroups >= wanted / 2) { link(tableSrc, dst); return }
-    val fp = s"$bytes:${Files.getLastModifiedTime(tableSrc).toMillis}:$rows:$wanted"
+    val mtime = partFiles.map(Files.getLastModifiedTime(_).toMillis).max
+    val fp = s"$bytes:$mtime:$rows:$wanted"
     if (isFresh(dst, fp)) return
     // stale symlink or outdated rewrite in the way: tombstone, rebuild
     tombstone(cacheDir, dst)

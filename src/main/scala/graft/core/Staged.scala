@@ -83,10 +83,34 @@ object Staged {
         dirs.getOrElseUpdate(k, {
           val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
           allDirs.put(d, ())
-          build(d)
+          withBuildConf(s)(build(d))
           java.nio.file.Files.createFile(java.nio.file.Paths.get(d, Marker))
           d
         })
+    }
+  }
+
+  /** Staging builds run with a LOWER AQE coalescing floor. The artifact
+    * kernels (shingle/posting/signature construction) are CPU-bound per
+    * byte and their shuffle output compresses very well, so the default
+    * 1 MB `minPartitionSize` folds a multi-second aggregate+write into
+    * ONE task (r12, text_inverted_index staging at 10×: the final
+    * postings stage ran 1 task / 5.0 s; under a 64 KB floor, 9 tasks /
+    * 2.2 s — build 11.0 → 8.4 s). At cluster scale staging shuffles are
+    * orders of magnitude above either floor, so the override is inert
+    * there. Scoped to the build (set/restore) so ordinary queries keep
+    * the stock coalescing; builds are session-sequential in every
+    * runner (Bench/Verify/Soak), so the temporary session-conf flip
+    * cannot leak into a concurrent query. */
+  private def withBuildConf[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val floor = s.conf.get("graft.stage.minPartitionSize", "64k")
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, floor)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
     }
   }
 }

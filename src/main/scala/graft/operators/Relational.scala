@@ -311,6 +311,14 @@ object Relational {
     // non-PROMO parts, with the part-supplier relation derived from
     // observed lineitems (no partsupp table in this schema).
     "q16_part_supplier_variety" -> ((s, dir) => {
+      // The pre-join distinct looks redundant (countDistinct dedups per
+      // group anyway) but is a measured WIN, not an accident: it hash-
+      // aggregates two LONG columns map-side before anything widens,
+      // where dropping it pushes a 4-key aggregate with three STRING
+      // group columns onto every joined fact row. r12 A/B at 10×
+      // (FloorProbe, min of 3 steady passes): with distinct 5.0-5.8 s,
+      // without 6.2-6.9 s — the "saved" exchange cost more than it
+      // freed (guide §1.1's switch-back case; plans/r12/q16_*).
       val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
       ps.join(Tables.part(s, dir).filter(col("p_type") =!= "PROMO"),
           col("l_partkey") === col("p_partkey"))
