@@ -131,22 +131,29 @@ object ScanLayout {
       }
     if (partFiles.isEmpty) { link(tableSrc, dst); return }
     val bytes = partFiles.map(Files.size).sum
+    val stats = partFiles.map(footerStats(spark, _))
+    val (rowGroups, rows) = (stats.map(_._1).sum, stats.map(_._2).sum)
     // the 8-way default cap was tuned at sf0.1 (see DefaultSplits); a
     // TABLE-SIZE escape keeps it from starving genuinely large scaled
-    // tables (a 100× lineitem is ~1 GB — 8 single-row-group splits use
-    // a quarter of the cores): above ~1 MB/split the cap grows with
-    // bytes up to the session's parallelism. An explicit SplitsKey conf
-    // remains a hard override (probe A/Bs pin exact split counts).
+    // tables: above ~1 MB/split OR ~64 K rows/split the cap grows up to
+    // the session's parallelism. Both terms matter — a 100× lineitem is
+    // ~1 GB (bytes-driven), while a 100× replicated documents table is
+    // 5 MB on disk but 5 M rows (dictionary compression hides the
+    // decode cost the split exists to parallelize; its r12 probe spent
+    // 33 s in 8-task explode stages that the row term spreads over all
+    // cores). sf0.1 shapes are unchanged by construction (both terms
+    // stay at/below the 8-way default there — lineitem 600 K rows / 10
+    // MB → 10 splits either way). An explicit SplitsKey conf remains a
+    // hard override (probe A/Bs pin exact split counts).
     val effTarget = spark.conf.getOption(SplitsKey) match {
       case Some(v) => math.max(2, v.toInt).toLong
       case None => math.max(target.toLong,
-        math.min(spark.sparkContext.defaultParallelism.toLong, bytes >> 20))
+        math.min(spark.sparkContext.defaultParallelism.toLong,
+          math.max(bytes >> 20, rows >> 16)))
     }
     val wanted = math.min(effTarget, (bytes + splitBytes - 1) / splitBytes).toInt
     if (wanted < MinSplits) { link(tableSrc, dst); return }
     if (partFiles.size >= wanted / 2) { link(tableSrc, dst); return }
-    val stats = partFiles.map(footerStats(spark, _))
-    val (rowGroups, rows) = (stats.map(_._1).sum, stats.map(_._2).sum)
     if (rowGroups >= wanted / 2) { link(tableSrc, dst); return }
     val mtime = partFiles.map(Files.getLastModifiedTime(_).toMillis).max
     val fp = s"$bytes:$mtime:$rows:$wanted"
