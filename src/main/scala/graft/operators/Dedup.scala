@@ -648,8 +648,9 @@ object Dedup {
     * PAIR detection and choosing one canonical doc per duplicate group.
     */
   def connectedComponents(edges: DataFrame,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame =
-    connectedComponentsCapped(edges, ckpt, Int.MaxValue)._1
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local,
+      jump: Boolean = false): DataFrame =
+    connectedComponentsCapped(edges, ckpt, Int.MaxValue, jump).labels
 
   /** Min-label propagation bounded at `maxRounds`: returns the (possibly
     * partial) labels plus whether the loop actually converged. A partial
@@ -658,9 +659,35 @@ object Dedup {
     * propagation path — which is what lets [[connectedComponentsAuto]]
     * contract by partial labels and hand the remainder to the star
     * rounds without changing the final partition. */
+  /** Result of the capped loop: labels (partial or converged), whether
+    * the loop converged, and the node count (so callers — Auto's
+    * contraction — reuse the already-paid count for their own broadcast
+    * gating instead of re-counting). */
+  private[graft] case class CcRun(labels: DataFrame, converged: Boolean, nNodes: Long)
+
+  /** Edge-frame partition count for the round loops: the symmetrized
+    * edge list is built by a NARROW union (no exchange), so it inherits
+    * 2x the source's split count — at sf0.1 that was 64 partitions of a
+    * few KB each, and every round's map-side stage paid 64 tasks of
+    * scheduling latency for microseconds of work (guide §2.2: fewer,
+    * larger partitions). Derive the count from the optimizer's size
+    * estimate for the edge plan (accurate for parquet-backed staged
+    * inputs; Long.MaxValue for un-stat'd LogicalRDD leaves, which
+    * safely degrades to the parallelism cap): one partition per
+    * ~`graft.cc.edgePartBytes` (default 4 MB), clamped to
+    * [1, defaultParallelism]. Scale-honest by construction — a corpus
+    * big enough to need parallelism gets it back from the bytes term. */
+  private def edgeParts(edges: DataFrame): Int = {
+    val s = edges.sparkSession
+    val target = s.conf.get("graft.cc.edgePartBytes", (4L << 20).toString).toLong
+    val est = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (est * 2 / target).min(BigInt(Int.MaxValue)).toLong + 1
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong, byBytes)).toInt
+  }
+
   private[graft] def connectedComponentsCapped(edges: DataFrame,
       ckpt: CheckpointStrategy, maxRounds: Int,
-      jump: Boolean = false): (DataFrame, Boolean) = {
+      jump: Boolean = false): CcRun = {
     // LAZY cuts throughout the loop: every cut frame's very next step is
     // an action that materializes it (the per-round changed-count; sym
     // and the seed labels ride round 1's job), so the eager form's
@@ -681,10 +708,17 @@ object Dedup {
     // decrease, and the component minimum keeps labeling itself.
     val sym = ckpt.cutLazy(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .coalesce(edgeParts(edges)))
+    // Seed labels at min(self, min(neighbors)) instead of self: the same
+    // groupBy exchange the old distinct() paid now also performs what
+    // round 1 of the plain loop would compute, so every graph converges
+    // exactly one round earlier. Invariants unchanged: the seed label is
+    // the id of a node in the closed neighborhood (connected, <= self),
+    // and the fixpoint — component min everywhere — is the same.
     var cut = ckpt.cut(
-      sym.select(col("src").as("doc")).distinct()
-        .withColumn("label", col("doc")))
+      sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("doc"), least(col("mn"), col("src")).as("label")))
     // SIZE-GATED BROADCAST ROUNDS (guide §3.1, pick the join strategy
     // deliberately): the label table is exactly one row per node and the
     // round joins key on it twice; below the gate, broadcasting it (and
@@ -734,8 +768,8 @@ object Dedup {
     }
     ckpt.release(sym) // the final labels frame is checkpointed on its own
     ccLog(edges, s"minlabel jump=$jump bcast=$bcastGate rounds=$rounds converged=${changed == 0}")
-    (labels.select(col("doc").as("doc_id"), col("label").as("cluster_id")),
-      changed == 0)
+    CcRun(labels.select(col("doc").as("doc_id"), col("label").as("cluster_id")),
+      changed == 0, nNodes)
   }
 
   /** Stderr round-count trace for CC A/B probes (`graft.cc.log=true`):
@@ -787,13 +821,25 @@ object Dedup {
     // jump=true: the capped phase covers distance ~2^cap instead of
     // ~cap, so real corpora converge inside the cap and the star
     // fallback is reserved for genuinely path-like graphs
-    val (labels, converged) = connectedComponentsCapped(edges, ckpt, cap, jump = true)
-    if (converged) labels
+    val run = connectedComponentsCapped(edges, ckpt, cap, jump = true)
+    if (run.converged) run.labels
     else {
-      val partial = ckpt.cut(labels)
+      // The capped loop's final labels frame is ALREADY backed by a live
+      // checkpoint (the loop's last cut frame, never released) — re-cutting
+      // it here was a redundant full materialization job (measured ~0.25 s
+      // of 32 tiny tasks at sf0.1) for a frame that is a pure projection
+      // of checkpointed blocks.
+      val partial = run.labels
+      // Same size-gated broadcast as the round joins (guide §3.1): partial
+      // is a LogicalRDD projection whose stats Catalyst cannot see, so
+      // without the hint BOTH contraction joins ran as full shuffle joins
+      // — the single most expensive step of the post-cap path at sf0.1.
+      // The gate reuses the node count the loop already paid for.
+      val bcastGate = run.nNodes <= broadcastNodes(edges)
+      def maybeB(df: DataFrame): DataFrame = if (bcastGate) broadcast(df) else df
       val contracted = ckpt.cutLazy(edges
-        .join(partial.select(col("doc_id").as("doc_a"), col("cluster_id").as("la")), "doc_a")
-        .join(partial.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")), "doc_b")
+        .join(maybeB(partial.select(col("doc_id").as("doc_a"), col("cluster_id").as("la"))), "doc_a")
+        .join(maybeB(partial.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb"))), "doc_b")
         .select(col("la").as("doc_a"), col("lb").as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b")))
       // The cap very often lands EXACTLY at the partition fixpoint with
@@ -819,7 +865,8 @@ object Dedup {
         // its blocks must outlive this call — same lifetime rule as the
         // final labels frame of the plain loop
         partial
-          .join(superLabels, partial("cluster_id") === superLabels("partial_label"), "left")
+          .join(maybeB(superLabels),
+            partial("cluster_id") === superLabels("partial_label"), "left")
           .select(col("doc_id"),
             coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
       }
@@ -879,8 +926,13 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val mn = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: duplicate (m, v) rows (several u with the same
+      // min re-hanging the same larger neighbor) are collapsed by byHi's
+      // aggregate and by next's final distinct anyway — the intermediate
+      // dedup was one full (a,b) exchange per round for rows the next
+      // two operators dedup for free (guide §2.4)
       val large = sym.join(maybeB(mn), "u").filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .select(col("m").as("a"), col("v").as("b"))
       // small-star over canonical (a < b): each node b re-hangs its
       // smaller neighbors (and itself) on their minimum
       val byHi = large.groupBy("b").agg(min("a").as("m"))
@@ -1932,8 +1984,15 @@ object Dedup {
     // run >= L chars is caught by its windows).
     "dedup_substring_spans" -> ((s, dir) => {
       val grams = stagedGrams(s, dir)
-      val occ = grams.groupBy("hg").agg(count(lit(1)).as("occ"))
-      grams.join(occ, "hg")
+      // corpus occurrence count as a WINDOW over hg instead of the former
+      // groupBy(hg)+join-back: the two were keyed identically, so the
+      // aggregate-then-rejoin shape paid the hg exchange twice plus a
+      // join for rows the window annotates in one pass (guide §2.4 —
+      // operations keyed the same way share one exchange; plan: 3
+      // Exchanges + SortMergeJoin → 2 Exchanges, no join)
+      grams
+        .withColumn("occ", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("hg")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("total_spans"),
           sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_spans"))
@@ -1998,8 +2057,14 @@ object Dedup {
     "dedup_winnow_pairs" -> ((s, dir) => {
       val fps = stagedWinnowFps(s, dir)
       val cap = propCap(fps)
+      // df as a window over fp, not groupBy(fp)+join-back (guide §2.4,
+      // same rewrite as dedup_substring_spans): one fp exchange computes
+      // the document frequency in place, and the surviving rows come out
+      // hash-partitioned by fp — exactly the partitioning the pair
+      // self-join below needs, so it joins with zero further exchanges
       val rare = fps
-        .join(fps.groupBy("fp").agg(count(lit(1)).as("df")), "fp")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
         .crossJoin(broadcast(cap))
         .filter(col("df") <= col("cap"))
         .select("fp", "doc_id")

@@ -227,12 +227,14 @@ object Similarity {
         .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
         .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      // min-label CC wins here: the eps-graph is SHALLOW (dense blobs,
-      // small diameter), so min-label converges in a few rounds and the
-      // star variant's extra per-round joins just cost more — measured
-      // 2.5 vs 2.9 s isolated steady at sf0.1 (contrast
-      // multimodal_phash_clusters, whose chained graph needs star)
-      val cc = Dedup.connectedComponents(coreEdges)
+      // min-label CC with POINTER JUMPING: the sf0.1 eps-graph measured
+      // diameter ~12 (graft.cc.log — density chains, not the shallow
+      // blobs the round-11 comment assumed), so the plain loop paid 12
+      // synchronized rounds; the jump term closes it in ~5. Star still
+      // loses here (extra per-round joins on a graph this small —
+      // measured r11: 2.5 vs 2.9 s; contrast multimodal_phash_clusters,
+      // whose chained graph needs star)
+      val cc = Dedup.connectedComponents(coreEdges, jump = true)
         .select(col("doc_id").as("v"), col("cluster_id"))
       // cores outside any core-core edge are their own singleton cluster
       val coreLabels = core.join(cc, Seq("v"), "left")

@@ -139,10 +139,11 @@ class CcStarSpec extends SparkSpec {
     // doubles coverage per round, so convergence must land well inside
     // 2*log2(128)+slack. Labels must equal the plain loop's exactly.
     val path = (0L until 127L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (jumped, converged) = Dedup.connectedComponentsCapped(
+    val run = Dedup.connectedComponentsCapped(
       path, CheckpointStrategy.Local, maxRounds = 20, jump = true)
-    assert(converged, "jump variant should converge within 20 rounds on path-128")
-    val out = labelsOf(jumped)
+    assert(run.converged, "jump variant should converge within 20 rounds on path-128")
+    assert(run.nNodes === 128L)
+    val out = labelsOf(run.labels)
     assert(out.size === 128)
     assert(out.values.forall(_ === 0L), "single component rooted at 0")
   }
