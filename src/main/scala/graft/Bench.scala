@@ -156,7 +156,7 @@ object Bench {
     // yields ZERO entries is itself a loud condition — that is exactly
     // the hand-edit failure mode the check defends against.
     val floorsPath = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_local/FLOORS.json")
-    val floors: Map[String, Double] =
+    val floorsRaw: Map[String, Double] =
       if (!new java.io.File(floorsPath).isFile) {
         System.err.println(s"BENCH: no floors file at $floorsPath - storm check off")
         Map.empty
@@ -177,8 +177,21 @@ object Bench {
               "storm check OFF; regenerate it with tools/regen_floors.py")
         parsed
       }
+    // Floors are recorded minima at a specific core count ("_cpus" header,
+    // written by tools/regen_floors.py; 32 for the committed history). The
+    // driver ALSO benches at a LOWER core count to measure scaling — there
+    // a CPU-bound row runs legitimately up to (floorCpus/cpus)x its
+    // recorded floor, and unscaled thresholds would flag dozens of healthy
+    // rows, each buying extra samples plus an isolated session-rebuild
+    // re-probe. Scale the slowdown allowance by the core ratio (clamped
+    // >= 1: more cores than the floors' never TIGHTENS a threshold, since
+    // scheduling-bound rows don't speed up past their floor).
+    val floorCpus = floorsRaw.getOrElse("_cpus", 32.0)
+    val floors = floorsRaw.filterNot(_._1.startsWith("_"))
+    val cpuScale = math.max(1.0,
+      floorCpus / math.max(1.0, scala.util.Try(cpus.toDouble).getOrElse(32.0)))
     def threshold(name: String): Option[Double] =
-      floors.get(name).map(f => math.max(4 * f, f + 1.0))
+      floors.get(name).map(f => math.max(4 * f * cpuScale, f * cpuScale + 1.0))
     // floorHit distinguishes the two re-run causes in the artifact:
     // "resamples" carries only floor-triggered rows, "unstable" the
     // pass-disagreement rows (previously both rode one field and a floor
@@ -215,8 +228,17 @@ object Bench {
     // "confirmed" — regenerate floors or investigate). Either way the
     // JSON now carries its own adjudication next to the raw samples.
     case class Iso(name: String, samples: Seq[Double], refuted: Boolean)
+    // Wall-clock backstop: each isolated probe costs a session rebuild
+    // (~15 s) + page re-warm + 4 passes, so a run where a long host storm
+    // (or a stale floors file) flags many rows must not multiply that
+    // into an unbounded tail. Adjudicate the WORST breaches (largest
+    // min/threshold ratio) first and cap the count; rows past the cap
+    // stay listed under storm_suspected with their raw samples.
+    val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "6").toInt
     val isolated: Seq[Iso] = {
-      val suspects = results.filter(_.storm).map(_.name)
+      val suspects = results.filter(_.storm)
+        .sortBy(r => -(r.sec / threshold(r.name).getOrElse(Double.MaxValue)))
+        .take(isoCap).map(_.name)
       if (suspects.isEmpty) Seq.empty
       else {
         suspects.map { n =>
