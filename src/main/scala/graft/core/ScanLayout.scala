@@ -71,6 +71,36 @@ object ScanLayout {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Rows per split for the row term of the split target. PAYLOAD tables
+    * (text, vectors) carry per-row DERIVE cost far above their per-byte
+    * decode cost — a document row fans out to ~2× its token count of
+    * bigram/shingle structs, an embedding row to d-dimensional kernel
+    * work — and dictionary encoding hides exactly that multiplier from
+    * every bytes-based term (the 100× replicated documents table is
+    * 4.9 MB on disk, 49 MB parquet-decoded, ~500 MB of logical text:
+    * its inverted-index staging ran two 8-task stages of 106 s + 54 s
+    * on a 32-core session, r12 probe). This is problem knowledge the
+    * byte statistics cannot express (guide §8): 8 K payload rows per
+    * split vs 64 K relational rows. sf0.1 shapes are unchanged by
+    * construction — 5 K docs / 2 K vectors sit below either threshold. */
+  private val heavyRowTables = Set("documents", "embeddings")
+  private def rowShift(name: String): Int =
+    if (heavyRowTables(name)) 13 else 16
+
+  /** The split-target policy, extracted pure so the spec can pin it
+    * across scales without building multi-hundred-MB fixtures: explicit
+    * conf wins; otherwise grow the tuned default with the larger of the
+    * bytes term and the per-table-class row term, clamped to the
+    * session's parallelism. */
+  private[graft] def splitTarget(name: String, bytes: Long, rows: Long,
+      target: Int, defaultParallelism: Int, confSplits: Option[String]): Long =
+    confSplits match {
+      case Some(v) => math.max(2, v.toInt).toLong
+      case None => math.max(target.toLong,
+        math.min(defaultParallelism.toLong,
+          math.max(bytes >> 20, rows >> rowShift(name))))
+    }
+
   /** Tolerant parse: the flag is fed verbatim from env vars
     * (SPARK_GRAFT_AUTOLAYOUT), where "1"/"0"/"on"/"off" are natural —
     * String.toBoolean would abort the whole run on any of them. */
@@ -135,22 +165,20 @@ object ScanLayout {
     val (rowGroups, rows) = (stats.map(_._1).sum, stats.map(_._2).sum)
     // the 8-way default cap was tuned at sf0.1 (see DefaultSplits); a
     // TABLE-SIZE escape keeps it from starving genuinely large scaled
-    // tables: above ~1 MB/split OR ~64 K rows/split the cap grows up to
-    // the session's parallelism. Both terms matter — a 100× lineitem is
-    // ~1 GB (bytes-driven), while a 100× replicated documents table is
-    // 5 MB on disk but 5 M rows (dictionary compression hides the
-    // decode cost the split exists to parallelize; its r12 probe spent
-    // 33 s in 8-task explode stages that the row term spreads over all
-    // cores). sf0.1 shapes are unchanged by construction (both terms
+    // tables: above ~1 MB/split OR a per-table-class row threshold
+    // (see rowShift — 64 K relational rows, 8 K payload rows) the cap
+    // grows up to the session's parallelism. Both terms matter — a 100×
+    // lineitem is ~1 GB (bytes-driven), while a 100× replicated
+    // documents table is 4.9 MB on disk yet 500 K heavy text rows
+    // (dictionary compression hides the decode+derive cost the split
+    // exists to parallelize; its r12 probe spent 160 s in two 8-task
+    // explode stages that the payload row term spreads over all
+    // cores). sf0.1 shapes are unchanged by construction (all terms
     // stay at/below the 8-way default there — lineitem 600 K rows / 10
     // MB → 10 splits either way). An explicit SplitsKey conf remains a
     // hard override (probe A/Bs pin exact split counts).
-    val effTarget = spark.conf.getOption(SplitsKey) match {
-      case Some(v) => math.max(2, v.toInt).toLong
-      case None => math.max(target.toLong,
-        math.min(spark.sparkContext.defaultParallelism.toLong,
-          math.max(bytes >> 20, rows >> 16)))
-    }
+    val effTarget = splitTarget(name, bytes, rows, target,
+      spark.sparkContext.defaultParallelism, spark.conf.getOption(SplitsKey))
     val wanted = math.min(effTarget, (bytes + splitBytes - 1) / splitBytes).toInt
     if (wanted < MinSplits) { link(tableSrc, dst); return }
     if (partFiles.size >= wanted / 2) { link(tableSrc, dst); return }

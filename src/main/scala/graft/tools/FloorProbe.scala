@@ -39,13 +39,15 @@ object FloorProbe {
     val sfDir = graft.core.ScanLayout.ensure(spark, rawSfDir)
     // Per-stage wall + task counts: pins how much of a query's latency is
     // single-task stages (the one-row-group testdata files cannot split).
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
-        stages.add((si.stageId, si.numTasks, wall))
+        // callsite (first token of the stage name) so a slow stage is
+        // attributable to the operator that scheduled it
+        stages.add((si.stageId, si.numTasks, wall, si.name.takeWhile(_ != '\n').take(40)))
       }
     })
     val fn = graft.SparkEntry.queries(name)
@@ -60,8 +62,9 @@ object FloorProbe {
       qe.toRdd.foreach(_ => ())
       val t3 = System.nanoTime()
       Thread.sleep(200) // let stage-completed events drain
-      val st = stages.toArray(Array.empty[(Int, Int, Long)]).sortBy(_._1)
-      val stStr = st.map { case (id, n, w) => s"s$id[${n}t ${w}ms]" }.mkString(" ")
+      val st = stages.toArray(Array.empty[(Int, Int, Long, String)]).sortBy(_._1)
+      val stStr = st.map { case (id, n, w, nm) =>
+        if (w >= 1000) s"s$id[${n}t ${w}ms $nm]" else s"s$id[${n}t ${w}ms]" }.mkString(" ")
       println(f"pass $i: build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f total=${(t3 - t0) / 1e9}%.3f  $stStr")
     }
     spark.stop()

@@ -113,6 +113,32 @@ class ScanLayoutSpec extends SparkSpec {
     }
   }
 
+  test("split target: payload row term grows documents/embeddings with scale, relational shapes unchanged") {
+    def t(name: String, bytes: Long, rows: Long): Long =
+      ScanLayout.splitTarget(name, bytes, rows, target = 8,
+        defaultParallelism = 32, confSplits = None)
+    // sf0.1 shapes unchanged by construction (measured sizes):
+    assert(t("documents", 600L << 10, 5000L) === 8L)      // 0.6 MB / 5 K docs
+    assert(t("embeddings", 800L << 10, 2000L) === 8L)     // 0.8 MB / 2 K vecs
+    assert(t("lineitem", 10L << 20, 600000L) === 10L)     // 10 MB -> bytes term
+    assert(t("events", 2L << 20, 100000L) === 8L)
+    // 100x replicated corpus: dictionary compression hides the payload
+    // tables' decode+derive cost from every bytes term (documents: 4.9 MB
+    // on disk, ~500 MB of logical text) — the 8 K-rows/split payload term
+    // is what spreads their kernels over the session's cores
+    assert(t("documents", 4900L << 10, 500000L) === 32L)  // was 8 pre-fix
+    assert(t("embeddings", 2800L << 10, 200000L) === 24L) // was 8 pre-fix
+    assert(t("lineitem", 870L << 20, 60000000L) === 32L)  // bytes term, as before
+    // relational rows keep the 64 K divisor: same row count, no payload
+    assert(t("orders", 2600L << 10, 500000L) === 8L)
+    // explicit conf stays a hard override
+    assert(ScanLayout.splitTarget("documents", 4900L << 10, 500000L,
+      8, 32, Some("4")) === 4L)
+    // parallelism clamp
+    assert(ScanLayout.splitTarget("documents", 4900L << 10, 500000L,
+      8, 16, None) === 16L)
+  }
+
   test("multi-file source dirs (the SoakGen shape) pass through as symlinks") {
     val base = freshBase()
     val src = Files.createTempDirectory("graft-multisrc").toString
