@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   *     (default: ./target/scala-2.13/classes, sbt's output dir)
   *   - spark.executor.memory ← SPARK_GRAFT_EXEC_MEM (default 2600m,
   *     sized under the worker grant so one executor fits per worker)
+  *
+  * Also export SPARK_SCALA_VERSION=2.13: the in-process Worker builds
+  * the executor command via the launcher's AbstractCommandBuilder, which
+  * resolves the Scala version from that env var (normally exported by
+  * the dist's load-spark-env.sh, which a local-cluster master bypasses);
+  * without it every executor launch fails with "Cannot find any build
+  * directories".
   */
 object ExecMaster {
   def master(defaultCpus: String): String =
